@@ -1,0 +1,260 @@
+"""Parameterized neural-net building blocks (pure init/apply functions).
+
+Params are nested dicts of float32 jnp arrays. All ``apply`` functions
+are pure (no state, explicit dropout rngs) so they compose under jit,
+grad, vmap and shard_map. Matmul-heavy ops optionally run in a lower
+compute dtype (bfloat16 on TPU) while params and normalization stay
+float32.
+
+Weight layout conventions (chosen for x @ w with no transposes on the
+hot path; the torch-checkpoint converter in tools/ transposes):
+- linear: w (in, out), b (out,)
+- conv1d (channel-last): w (k, in, out), b (out,)
+- attention: separate q/k/v/out projections, each (in, out)
+
+Behavioral parity targets are the reference modules in
+/root/reference/src/daft_exprt/model.py (LinearNorm :57, ConvNorm1D :75,
+MultiHeadAttention :153, PositionWiseConvFF :196, FFTBlock :240).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# ----------------------------------------------------------------------
+# Initializers (torch-compatible semantics)
+# ----------------------------------------------------------------------
+_GAINS = {"linear": 1.0, "relu": float(np.sqrt(2.0)), "sigmoid": 1.0}
+
+
+def xavier_uniform(rng, shape, fan_in, fan_out, gain="linear"):
+    g = _GAINS[gain] if isinstance(gain, str) else float(gain)
+    limit = g * np.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(rng, shape, jnp.float32, -limit, limit)
+
+
+def _bias_uniform(rng, shape, fan_in):
+    bound = 1.0 / np.sqrt(fan_in) if fan_in > 0 else 0.0
+    return jax.random.uniform(rng, shape, jnp.float32, -bound, bound)
+
+
+# ----------------------------------------------------------------------
+# Dropout
+# ----------------------------------------------------------------------
+def dropout(rng, x, rate: float, deterministic: bool):
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+# ----------------------------------------------------------------------
+# Linear
+# ----------------------------------------------------------------------
+def linear_init(rng, in_dim, out_dim, gain="linear", bias=True):
+    k_w, k_b = jax.random.split(rng)
+    params = {"w": xavier_uniform(k_w, (in_dim, out_dim), in_dim, out_dim,
+                                  gain)}
+    if bias:
+        params["b"] = _bias_uniform(k_b, (out_dim,), in_dim)
+    return params
+
+
+def linear_apply(params, x, dtype=jnp.float32):
+    w = params["w"].astype(dtype)
+    y = jnp.dot(x.astype(dtype), w, preferred_element_type=jnp.float32)
+    if "b" in params:
+        y = y + params["b"]
+    return y
+
+
+# ----------------------------------------------------------------------
+# Conv1D (channel-last, SAME zero padding, stride 1)
+# ----------------------------------------------------------------------
+def conv1d_init(rng, in_ch, out_ch, kernel, gain="linear", bias=True):
+    k_w, k_b = jax.random.split(rng)
+    fan_in, fan_out = in_ch * kernel, out_ch * kernel
+    params = {"w": xavier_uniform(k_w, (kernel, in_ch, out_ch), fan_in,
+                                  fan_out, gain)}
+    if bias:
+        params["b"] = _bias_uniform(k_b, (out_ch,), fan_in)
+    return params
+
+
+def conv1d_apply(params, x, dtype=jnp.float32):
+    """x: (B, L, in_ch) -> (B, L, out_ch)."""
+    w = params["w"].astype(dtype)
+    kernel = w.shape[0]
+    pad = (kernel - 1) // 2
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), w,
+        window_strides=(1,),
+        padding=[(pad, pad)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32,
+    )
+    if "b" in params:
+        y = y + params["b"]
+    return y
+
+
+# ----------------------------------------------------------------------
+# LayerNorm (float32 statistics)
+# ----------------------------------------------------------------------
+def layer_norm_init(dim):
+    return {"scale": jnp.ones((dim,), jnp.float32),
+            "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def layer_norm_apply(params, x, eps: float = 1e-5):
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return y * params["scale"] + params["bias"]
+
+
+# ----------------------------------------------------------------------
+# Embedding
+# ----------------------------------------------------------------------
+def embedding_init(rng, num, dim):
+    return {"table": xavier_uniform(rng, (num, dim), num, dim, "linear")}
+
+
+def embedding_apply(params, ids):
+    return jnp.take(params["table"], ids, axis=0)
+
+
+# ----------------------------------------------------------------------
+# Multi-head self-attention block (attention + dropout + residual + LN)
+# ----------------------------------------------------------------------
+def mha_init(rng, embed_dim, num_heads):
+    ks = jax.random.split(rng, 6)
+    # torch nn.MultiheadAttention: packed in_proj is xavier_uniform over
+    # the (3E, E) matrix; out_proj is a Linear with kaiming-default init.
+    # We init q/k/v with the packed-matrix fan (fan_in=E, fan_out=3E).
+    def proj(k):
+        return xavier_uniform(k, (embed_dim, embed_dim), embed_dim,
+                              3 * embed_dim, "linear")
+    return {
+        "q_w": proj(ks[0]), "k_w": proj(ks[1]), "v_w": proj(ks[2]),
+        "q_b": jnp.zeros((embed_dim,), jnp.float32),
+        "k_b": jnp.zeros((embed_dim,), jnp.float32),
+        "v_b": jnp.zeros((embed_dim,), jnp.float32),
+        "out_w": xavier_uniform(ks[3], (embed_dim, embed_dim), embed_dim,
+                                embed_dim, "linear"),
+        "out_b": jnp.zeros((embed_dim,), jnp.float32),
+        "ln": layer_norm_init(embed_dim),
+    }
+
+
+def mha_apply(params, x, key_valid, *, num_heads, attn_dropout, rng,
+              deterministic, dtype=jnp.float32):
+    """Self-attention with key padding mask + dropout/residual/post-LN.
+
+    :param x: (B, T, E)
+    :param key_valid: (B, T) bool, True = attend to this key
+    :return: (B, T, E)
+    """
+    B, T, E = x.shape
+    H = num_heads
+    D = E // H
+
+    q = linear_apply({"w": params["q_w"], "b": params["q_b"]}, x, dtype)
+    k = linear_apply({"w": params["k_w"], "b": params["k_b"]}, x, dtype)
+    v = linear_apply({"w": params["v_w"], "b": params["v_b"]}, x, dtype)
+
+    q = q.reshape(B, T, H, D).transpose(0, 2, 1, 3)  # (B, H, T, D)
+    k = k.reshape(B, T, H, D).transpose(0, 2, 1, 3)
+    v = v.reshape(B, T, H, D).transpose(0, 2, 1, 3)
+
+    scale = 1.0 / np.sqrt(D)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q.astype(dtype), k.astype(dtype),
+                        preferred_element_type=jnp.float32) * scale
+    neg = jnp.finfo(jnp.float32).min
+    logits = jnp.where(key_valid[:, None, None, :], logits, neg)
+    # NaN-free softmax even for fully-masked query rows (padding queries):
+    # probabilities become uniform garbage there but are zeroed downstream
+    # by the block's output mask, and no NaN ever enters the graph.
+    logits = logits - jax.lax.stop_gradient(
+        jnp.max(logits, axis=-1, keepdims=True))
+    unnorm = jnp.exp(logits)
+    denom = jnp.sum(unnorm, axis=-1, keepdims=True)
+    probs = unnorm / jnp.maximum(denom, 1e-30)
+
+    if not deterministic and attn_dropout > 0.0:
+        rng, sub = jax.random.split(rng)
+        probs = dropout(sub, probs, attn_dropout, deterministic)
+
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(dtype),
+                     v.astype(dtype), preferred_element_type=jnp.float32)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(B, T, E)
+    out = linear_apply({"w": params["out_w"], "b": params["out_b"]}, ctx,
+                       dtype)
+
+    if not deterministic and attn_dropout > 0.0:
+        rng, sub = jax.random.split(rng)
+        out = dropout(sub, out, attn_dropout, deterministic)
+    return layer_norm_apply(params["ln"], out + x)
+
+
+# ----------------------------------------------------------------------
+# Position-wise conv feed-forward (+ optional FiLM)
+# ----------------------------------------------------------------------
+def conv_ff_init(rng, embed_dim, conv_channels, kernel):
+    k1, k2 = jax.random.split(rng)
+    return {
+        "conv1": conv1d_init(k1, embed_dim, conv_channels, kernel, "relu"),
+        "conv2": conv1d_init(k2, conv_channels, embed_dim, kernel, "linear"),
+        "ln": layer_norm_init(embed_dim),
+    }
+
+
+def conv_ff_apply(params, x, film_params, *, conv_dropout, rng,
+                  deterministic, dtype=jnp.float32):
+    """(B, T, E) -> (B, T, E); FiLM (gamma*x + beta) applied post-LN.
+
+    :param film_params: (B, 2 * E) -- [gammas | betas] -- or None
+    """
+    h = conv1d_apply(params["conv1"], x, dtype)
+    h = jax.nn.relu(h)
+    h = conv1d_apply(params["conv2"], h, dtype)
+    if not deterministic and conv_dropout > 0.0:
+        rng, sub = jax.random.split(rng)
+        h = dropout(sub, h, conv_dropout, deterministic)
+    out = layer_norm_apply(params["ln"], h + x)
+    if film_params is not None:
+        n = out.shape[-1]
+        gammas = film_params[:, None, :n]
+        betas = film_params[:, None, n:]
+        out = gammas * out + betas
+    return out
+
+
+# ----------------------------------------------------------------------
+# FFT block: MHA -> mask -> ConvFF(FiLM) -> mask
+# ----------------------------------------------------------------------
+def fft_block_init(rng, embed_dim, num_heads, conv_channels, kernel):
+    k1, k2 = jax.random.split(rng)
+    return {
+        "attn": mha_init(k1, embed_dim, num_heads),
+        "ff": conv_ff_init(k2, embed_dim, conv_channels, kernel),
+    }
+
+
+def fft_block_apply(params, x, film_params, valid_mask, *, num_heads,
+                    attn_dropout, conv_dropout, rng, deterministic,
+                    dtype=jnp.float32):
+    """:param valid_mask: (B, T) bool, True for real positions."""
+    r1, r2 = jax.random.split(rng)
+    attn = mha_apply(params["attn"], x, valid_mask, num_heads=num_heads,
+                     attn_dropout=attn_dropout, rng=r1,
+                     deterministic=deterministic, dtype=dtype)
+    attn = jnp.where(valid_mask[..., None], attn, 0.0)
+    out = conv_ff_apply(params["ff"], attn, film_params,
+                        conv_dropout=conv_dropout, rng=r2,
+                        deterministic=deterministic, dtype=dtype)
+    return jnp.where(valid_mask[..., None], out, 0.0)

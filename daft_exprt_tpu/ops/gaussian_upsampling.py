@@ -1,0 +1,46 @@
+"""Gaussian upsampling: symbol-rate -> frame-rate expansion.
+
+Non-attentive-Tacotron-style upsampling: each symbol i spreads its
+embedding over frames with weights proportional to a Gaussian pdf
+centered at c_i = cumsum(d)_{i-1} + d_i / 2 with learned std sigma_i,
+normalized over symbols.
+
+Behavioral parity target:
+/root/reference/src/daft_exprt/model.py:639-662. Padded symbols must
+carry sigma = 1 (not 0) to avoid NaNs, and their probabilities are zeroed
+before normalization; the normalizer adds 1e-20.
+
+This op materializes a (B, L, T) weight tensor; at the reference scale
+(B<=16, L<=256, T<=2048) this fits comfortably in HBM and XLA fuses the
+pdf computation into the contraction. A Pallas kernel can replace the
+einsum if profiling shows it matters.
+"""
+
+import jax.numpy as jnp
+
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def gaussian_upsample(x, durations_int, sigmas, symbol_mask, max_frames: int):
+    """Upsample symbol embeddings to frame embeddings.
+
+    :param x: (B, L, H) symbol embeddings
+    :param durations_int: (B, L) int frames per symbol
+    :param sigmas: (B, L) Gaussian stds (padded entries must be >= tiny)
+    :param symbol_mask: (B, L) bool, True for valid symbols
+    :param max_frames: static T
+    :return: (frames (B, T, H), weights (B, L, T))
+    """
+    durations = durations_int.astype(jnp.float32)
+    cumsum = jnp.cumsum(durations, axis=1)
+    means = cumsum - durations / 2.0  # c_i = cumsum_{<i} + d_i / 2
+
+    t = jnp.arange(max_frames, dtype=jnp.float32) + 0.5  # (T,)
+    z = (t[None, None, :] - means[..., None]) / sigmas[..., None]
+    probs = (_INV_SQRT_2PI / sigmas[..., None]) * jnp.exp(-0.5 * z * z)
+    probs = jnp.where(symbol_mask[..., None], probs, 0.0)  # (B, L, T)
+
+    weights = probs / (jnp.sum(probs, axis=1, keepdims=True) + 1e-20)
+    frames = jnp.einsum("blt,blh->bth", weights, x,
+                        preferred_element_type=jnp.float32)
+    return frames, weights
