@@ -1,0 +1,81 @@
+"""Benchmark: batched mel synthesis throughput on one chip.
+
+Measures the reference's headline instrument -- "DaftExprt RTF"
+(synthesized audio seconds per wall second, reference generate.py:421-435,
+batched inference with batch 50) -- on the flagship full-scale model.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference publishes no RTF number; BASELINE.json's north star is
+>= 50x real-time batched mel synthesis per chip, so vs_baseline is
+value / 50.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import numpy as np
+
+from __graft_entry__ import _flagship_hparams, _synthetic_inference_inputs
+from daft_exprt_tpu.models.daft_exprt import DaftExprt
+
+NORTH_STAR_RTF = 50.0
+
+
+def main():
+    import jax.numpy as jnp
+
+    hp = _flagship_hparams()
+    model = DaftExprt(hp)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    # Reference CLI default batch is 50 (synthesize.py:115); round up to a
+    # TPU-friendly 64. T=1024 frames ~= 11.9 s of audio per row.
+    B, L, T = 64, 128, 1024
+    inputs = _synthetic_inference_inputs(hp, B, L, T, seed=0)
+    pitch_means = jnp.full((hp.n_speakers,), 5.0, jnp.float32)
+    pitch_stds = jnp.full((hp.n_speakers,), 0.3, jnp.float32)
+
+    @jax.jit
+    def infer(params, inputs):
+        return model.inference(params, inputs, "add", pitch_means,
+                               pitch_stds, max_frames=T)
+
+    # Warmup / compile.
+    out = infer(params, inputs)
+    jax.block_until_ready(out)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = infer(params, inputs)
+    jax.block_until_ready(out)
+    wall = time.perf_counter() - t0
+
+    # Every call computes B*T mel frames (static shapes); audio seconds
+    # follow the reference RTF accounting: frames * hop / sr.
+    frames = B * T * iters
+    frames_per_sec = frames / wall
+    audio_sec = frames * hp.hop_length / hp.sampling_rate
+    rtf = audio_sec / wall
+
+    print(json.dumps({
+        "metric": "batched_mel_synthesis_rtf",
+        "value": round(rtf, 2),
+        "unit": "x_realtime_per_chip",
+        "vs_baseline": round(rtf / NORTH_STAR_RTF, 3),
+        "detail": {
+            "mel_frames_per_sec_per_chip": round(frames_per_sec, 1),
+            "batch": B, "max_symbols": L, "max_frames": T,
+            "iters": iters, "wall_s": round(wall, 3),
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,179 @@
+"""F0 estimation: NCCF/RAPT-style pitch tracker with DP voicing.
+
+Native replacement for the reference's bundled REAPER binary
+(/root/reference/src/daft_exprt/extract_features.py:222-269 +
+hparams.py:48-55). The reference's contract, which this module honors:
+
+- F0 is estimated with a voicing decision (unvoiced <= 0);
+- the .f0 track is *sample-synchronous*: one value per audio sample
+  (the reference reads raw int16 and decimates with ``[::hop_length]``);
+- downstream uses log-F0 with unvoiced frames set exactly to 0.0 and one
+  pitch value per mel frame (edge rule: when ``len(track) % hop == 0``
+  the final sample is appended so pitch frames == mel frames).
+
+Algorithm (RAPT family, Talkin 1995): normalized cross-correlation
+(NCCF) per analysis frame over the lag range [fs/max_f0, fs/min_f0],
+peak candidate extraction, then Viterbi dynamic programming over
+{unvoiced, candidate lags} with frequency-jump and voicing-transition
+costs. The NCCF inner product is computed via FFT cross-correlation
+(O(n log n) per frame) on host, or batched as an einsum on TPU.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# DP cost weights (RAPT-style).
+_FREQ_JUMP_COST = 0.35     # cost per octave jump between voiced frames
+_VUV_TRANSITION_COST = 0.2  # cost of switching voiced <-> unvoiced
+_N_CANDS = 5                # voiced lag candidates per frame
+
+
+def _frame_starts(n_samples: int, fs: int, frame_interval: float,
+                  window: int, max_lag: int) -> np.ndarray:
+    step = max(1, int(round(frame_interval * fs)))
+    last = n_samples - (window + max_lag)
+    if last < 0:
+        return np.zeros((0,), np.int64)
+    return np.arange(0, last + 1, step, dtype=np.int64)
+
+
+def nccf(wav: np.ndarray, fs: int, frame_interval: float, min_f0: float,
+         max_f0: float):
+    """Normalized cross-correlation function per frame.
+
+    :return: (nccf (F, K) for lags in [min_lag, max_lag], min_lag,
+              frame start indices)
+    """
+    wav = np.asarray(wav, np.float64)
+    min_lag = max(2, int(np.floor(fs / max_f0)))
+    max_lag = int(np.ceil(fs / min_f0))
+    window = max_lag  # one period of the lowest trackable F0
+    starts = _frame_starts(len(wav), fs, frame_interval, window, max_lag)
+    F = len(starts)
+    if F == 0:
+        return np.zeros((0, 0)), min_lag, starts
+
+    seg_len = window + max_lag
+    idx = starts[:, None] + np.arange(seg_len)[None, :]
+    segs = wav[idx]                                  # (F, w + max_lag)
+    base = segs[:, :window]                          # (F, w)
+
+    # cross-correlation via FFT: c[k] = sum_j base[j] * segs[j + k]
+    nfft = 1 << int(np.ceil(np.log2(seg_len + window)))
+    B = np.fft.rfft(base, nfft)
+    S = np.fft.rfft(segs, nfft)
+    corr = np.fft.irfft(np.conj(B) * S, nfft)[:, :max_lag + 1]  # (F, K+1)
+
+    # energies: e0 = |base|^2 ; ek = sum segs[k:k+w]^2 via cumsum
+    csum = np.cumsum(np.square(segs), axis=1)
+    csum = np.concatenate([np.zeros((F, 1)), csum], axis=1)
+    ek = csum[:, window:] - csum[:, :-window]        # (F, max_lag + 1)
+    e0 = ek[:, :1]
+    denom = np.sqrt(e0 * ek) + 1e-12
+    out = (corr / denom)[:, min_lag:max_lag + 1]     # (F, K)
+    return out, min_lag, starts
+
+
+def _viterbi_track(nccf_mat: np.ndarray, min_lag: int, fs: int,
+                   uv_cost: float):
+    """DP over {unvoiced, top-N lag candidates} per frame.
+
+    :return: (f0 per frame, voiced mask per frame)
+    """
+    F, K = nccf_mat.shape
+    if F == 0:
+        return np.zeros((0,)), np.zeros((0,), bool)
+
+    # top-N local maxima per frame (greedy top values are a good proxy)
+    order = np.argsort(-nccf_mat, axis=1)[:, :_N_CANDS]   # (F, N)
+    cand_nccf = np.take_along_axis(nccf_mat, order, axis=1)
+    cand_lag = order + min_lag                            # (F, N)
+
+    n_states = _N_CANDS + 1  # state 0 = unvoiced
+    INF = 1e18
+    cost = np.full((F, n_states), INF)
+    back = np.zeros((F, n_states), np.int32)
+
+    # local costs: voiced candidate = 1 - nccf; unvoiced = uv_cost
+    local = np.empty((F, n_states))
+    local[:, 0] = uv_cost
+    local[:, 1:] = 1.0 - cand_nccf
+
+    cost[0] = local[0]
+    log_lag = np.log2(np.maximum(cand_lag, 1))
+    for i in range(1, F):
+        # transition matrix prev_state -> state
+        trans = np.zeros((n_states, n_states))
+        trans[0, 1:] = _VUV_TRANSITION_COST
+        trans[1:, 0] = _VUV_TRANSITION_COST
+        jump = np.abs(log_lag[i - 1][:, None] - log_lag[i][None, :])
+        trans[1:, 1:] = _FREQ_JUMP_COST * jump
+        total = cost[i - 1][:, None] + trans
+        back[i] = np.argmin(total, axis=0)
+        cost[i] = np.min(total, axis=0) + local[i]
+
+    # backtrack
+    states = np.zeros(F, np.int32)
+    states[-1] = int(np.argmin(cost[-1]))
+    for i in range(F - 2, -1, -1):
+        states[i] = back[i + 1, states[i + 1]]
+
+    voiced = states > 0
+    f0 = np.zeros(F)
+    vi = np.where(voiced)[0]
+    f0[vi] = fs / cand_lag[vi, states[vi] - 1]
+    return f0, voiced
+
+
+def track_pitch(wav: np.ndarray, fs: int, frame_interval: float = 0.005,
+                min_f0: float = 40.0, max_f0: float = 500.0,
+                uv_cost: float = 0.9):
+    """F0 track at ``frame_interval`` resolution.
+
+    :return: (f0 Hz per analysis frame (0 where unvoiced), frame starts)
+    """
+    mat, min_lag, starts = nccf(wav, fs, frame_interval, min_f0, max_f0)
+    # map REAPER-style uv cost (-w 0.9) to an NCCF voicing cost in (0, 1):
+    # higher -w = more reluctant to call voiced.
+    f0, voiced = _viterbi_track(mat, min_lag, fs, uv_cost=1.0 - 1.0 / (1.0 + uv_cost))
+    f0[~voiced] = 0.0
+    return f0, starts
+
+
+def sample_synchronous_f0(wav: np.ndarray, fs: int, hparams) -> np.ndarray:
+    """Per-sample integer F0 track (the bundled-REAPER output contract).
+
+    One value per audio sample; unvoiced samples are 0.
+    """
+    f0, starts = track_pitch(
+        wav, fs, frame_interval=hparams.f0_interval, min_f0=hparams.min_f0,
+        max_f0=hparams.max_f0, uv_cost=hparams.uv_cost)
+    track = np.zeros(len(wav), np.int16)
+    if len(starts) == 0:
+        return track
+    # hold each frame's value until the next frame start
+    bounds = np.append(starts, len(wav))
+    for i in range(len(starts)):
+        track[bounds[i]:bounds[i + 1]] = np.int16(round(f0[i]))
+    # samples before the first analysis frame share its value
+    track[:bounds[0]] = np.int16(round(f0[0]))
+    return track
+
+
+def extract_pitch(wav: np.ndarray, fs: int, hparams) -> np.ndarray:
+    """Per-mel-frame log-F0 with unvoiced frames set to 0.
+
+    Framing parity with the reference extract_pitch
+    (extract_features.py:222-269): per-sample track -> log (unvoiced
+    stays 0) -> ``[::hop_length]`` with the end-of-track edge rule.
+    """
+    track = sample_synchronous_f0(wav, fs, hparams).astype(np.float64)
+    unvoiced = track <= 0.0
+    track[unvoiced] = 1.0
+    log_f0 = np.log(track)
+    log_f0[unvoiced] = 0.0
+    frames = log_f0[::hparams.hop_length]
+    if len(log_f0) % hparams.hop_length == 0:
+        frames = np.append(frames, log_f0[-1])
+    return frames

@@ -1,0 +1,296 @@
+"""Feature extraction: wav + markers -> training features on disk.
+
+Per utterance (behavioral parity with the reference pipeline,
+/root/reference/src/daft_exprt/extract_features.py:387-496):
+
+1. trim the wav to the aligned speech span (markers were
+   silence-trimmed at ingestion);
+2. HiFi-GAN-exact log-mel via the JAX STFT kernel (ops/mel.py);
+3. quantize phone durations to integer frame counts
+   (ops/durations.py, exact reference boundary semantics);
+4. rewrite markers: timings re-based to 0, word-boundary symbols
+   (punctuation/whitespace) and EOS inserted, int durations attached;
+5. per-frame energy (L2 norm of linear-mel columns) + per-symbol mean;
+6. per-frame log-F0 (audio/pitch.py NCCF tracker, REAPER-framing
+   contract) + per-symbol voiced mean.
+
+Artifacts per speaker features dir: ``{file}.npy`` (n_mels, T) log-mel,
+``{file}.markers`` (begin end int_dur symbol word word_idx TSV),
+``{file}.frames_nrg``, ``{file}.symbols_nrg``, ``{file}.frames_f0``,
+``{file}.symbols_f0``, ``config.json``.
+
+Incremental: files with an existing ``.symbols_f0`` are skipped.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import re
+
+import numpy as np
+
+from daft_exprt_tpu.audio.io import load_wav
+from daft_exprt_tpu.audio.pitch import extract_pitch
+from daft_exprt_tpu.ops.durations import duration_to_integer
+from daft_exprt_tpu.ops.mel import extract_energy, mel_spectrogram_hifi
+from daft_exprt_tpu.symbols import (ASCII_LETTERS, EOS, PUNCTUATION,
+                                    SIL_WORD_SYMBOL, WHITESPACE)
+from daft_exprt_tpu.utils import launch_multi_process, worker_logger
+
+_logger = logging.getLogger(__name__)
+
+
+# ----------------------------------------------------------------------
+# Sentence/marker word matching
+# ----------------------------------------------------------------------
+def split_sentence_words(sentence: str, language: str):
+    """Split a cleaned sentence into word / punctuation tokens.
+
+    Returns (words, end_punctuation): leading punctuation dropped,
+    trailing punctuation reduced to the last one (or None).
+    """
+    if language != "english":
+        raise NotImplementedError(language)
+    all_chars = ASCII_LETTERS + PUNCTUATION
+    tokens = re.findall(rf"[\w']+|[{PUNCTUATION}]", sentence.lower().strip())
+    tokens = [t for t in tokens if re.sub(rf"[^{all_chars}]", "", t)]
+    while tokens and tokens[0] in PUNCTUATION:
+        tokens.pop(0)
+    end_punct = None
+    while tokens and tokens[-1] in PUNCTUATION:
+        end_punct = tokens.pop(-1)
+    return tokens, end_punct
+
+
+def update_markers(file_name, marker_rows, sentence, sent_begin,
+                   int_durations, hparams, logger=None):
+    """Rebase timings, insert word boundaries + EOS, attach int durs.
+
+    :param marker_rows: [[begin, end, phone, word, word_idx], ...]
+    :param sentence: the cleaned .lab transcript
+    :param sent_begin: original begin time of the first marker (sec)
+    :param int_durations: frame counts, one per marker row
+    :return: [[begin, end, int_dur, symbol, word, word_idx], ...] or
+             None on a word-correspondence failure.
+    """
+    logger = logger or _logger
+    sent_words, end_punct = split_sentence_words(sentence, hparams.language)
+
+    rows = [list(r) for r in marker_rows]
+    durs = list(int_durations)
+    out, word_idx = [], 0
+
+    def emit(row, symbol, word, dur):
+        begin = f"{float(row[0]) - sent_begin:.3f}"
+        end = f"{float(row[1]) - sent_begin:.3f}"
+        out.append([begin, end, str(dur), symbol, word, str(word_idx)])
+
+    while sent_words:
+        sent_word = sent_words.pop(0)
+        marker_word, marker_word_idx = rows[0][3], rows[0][4]
+        if marker_word != sent_word:
+            # apostrophe artifacts: "example'" vs "example", or
+            # "that's" aligned as two words ["that", "s"]
+            pieces = re.findall(rf"[\w]+|[{PUNCTUATION}]", sent_word)
+            if len(pieces) == 1:
+                sent_word = pieces[0]
+            else:
+                sent_words = pieces + sent_words
+                sent_word = sent_words.pop(0)
+            if marker_word != sent_word:
+                logger.warning(
+                    f"{file_name} -- word mismatch between .lab sentence "
+                    f'and markers ("{sent_word}" vs "{marker_word}") -- '
+                    f"ignoring file")
+                return None
+        # emit all phone rows of this word
+        while rows and rows[0][4] == marker_word_idx:
+            row = rows.pop(0)
+            emit(row, row[2], row[3], durs.pop(0))
+        word_idx += 1
+        # word boundary between consecutive words
+        if sent_words:
+            bound = sent_words.pop(0) if sent_words[0] in PUNCTUATION \
+                else WHITESPACE
+            if rows and rows[0][3] == SIL_WORD_SYMBOL:
+                row = rows.pop(0)
+                emit(row, bound, bound, durs.pop(0))
+            else:
+                end_prev = out[-1][1]
+                out.append([end_prev, end_prev, "0", bound, bound,
+                            str(word_idx)])
+            word_idx += 1
+
+    if end_punct is not None:
+        end_prev = out[-1][1]
+        out.append([end_prev, end_prev, "0", end_punct, end_punct,
+                    str(word_idx)])
+        word_idx += 1
+    end_prev = out[-1][1]
+    out.append([end_prev, end_prev, "0", EOS, EOS, str(word_idx)])
+
+    assert not sent_words and not rows and not durs, (
+        f"{file_name} -- length mismatch after marker update: "
+        f"({sent_words}, {rows}, {durs})")
+    return out
+
+
+# ----------------------------------------------------------------------
+# Per-symbol aggregation (vectorized; the reference loops per marker)
+# ----------------------------------------------------------------------
+def symbols_mean(frame_values: np.ndarray, int_durs: np.ndarray,
+                 voiced_only: bool = False) -> np.ndarray:
+    """Mean of frame values per symbol segment; zero-duration -> 0.
+
+    With ``voiced_only``, only frames > 0 contribute (and all-unvoiced
+    segments yield 0) -- the per-symbol pitch rule.
+    """
+    int_durs = np.asarray(int_durs, np.int64)
+    offsets = np.concatenate([[0], np.cumsum(int_durs)[:-1]])
+    vals = np.asarray(frame_values, np.float64)
+    if voiced_only:
+        mask = (vals > 0.0).astype(np.float64)
+        sums = np.add.reduceat(vals * mask, offsets)
+        counts = np.add.reduceat(mask, offsets)
+    else:
+        sums = np.add.reduceat(vals, offsets)
+        counts = int_durs.astype(np.float64)
+    # reduceat with repeated offsets (zero-length segments) returns the
+    # value at that index; mask them out explicitly
+    means = np.where(counts > 0, sums / np.maximum(counts, 1), 0.0)
+    means[int_durs == 0] = 0.0
+    return means
+
+
+def _fmt_col(values) -> list:
+    return [f"{v:.3f}\n" for v in values]
+
+
+# ----------------------------------------------------------------------
+# Per-file extraction
+# ----------------------------------------------------------------------
+def min_phone_duration(marker_rows) -> float:
+    return min(float(r[1]) - float(r[0]) for r in marker_rows)
+
+
+def extract_features_for_file(markers_file: str, wav_file: str,
+                              features_dir: str, hparams, logger=None):
+    """Extract and save all features for one (markers, wav) pair."""
+    logger = logger or _logger
+    assert os.path.isfile(markers_file), f"missing {markers_file}"
+    assert os.path.isfile(wav_file), f"missing {wav_file}"
+    with open(markers_file, encoding="utf-8") as f:
+        marker_rows = [line.strip().split("\t") for line in f
+                       if line.strip()]
+
+    # every phone must be long enough to own >= 1 mel frame
+    fft_sec = hparams.filter_length / hparams.sampling_rate
+    assert min_phone_duration(marker_rows) > fft_sec / 2, (
+        f"{markers_file} -- phone shorter than filter_length/2")
+
+    sent_begin = float(marker_rows[0][0])
+    sent_end = float(marker_rows[-1][1])
+    if sent_end - sent_begin < hparams.minimum_wav_duration / 1000:
+        logger.warning(
+            f"Ignoring {wav_file} -- shorter than "
+            f"{hparams.minimum_wav_duration / 1000}s after trimming")
+        return None
+
+    wav, fs = load_wav(wav_file, target_sr=hparams.sampling_rate)
+    wav = wav[int(sent_begin * fs):int(sent_end * fs)]
+
+    mel_spec = mel_spectrogram_hifi(wav, hparams)  # (n_mels, T) log-mel
+    nb_frames = mel_spec.shape[1]
+
+    float_durs = [[float(r[0]) - sent_begin, float(r[1]) - sent_begin]
+                  for r in marker_rows]
+    int_durs = duration_to_integer(float_durs, hparams,
+                                   nb_samples=len(wav))
+    assert len(int_durs) == len(marker_rows), \
+        f"{markers_file} -- {len(int_durs)} vs {len(marker_rows)}"
+    assert sum(int_durs) == nb_frames, \
+        f"{markers_file} -- {sum(int_durs)} vs {nb_frames}"
+    assert 0 not in int_durs, f"{markers_file} -- zero int duration"
+
+    file_name = os.path.basename(markers_file)[:-len(".markers")]
+    lab_file = os.path.join(os.path.dirname(markers_file),
+                            f"{file_name}.lab")
+    assert os.path.isfile(lab_file), f"missing {lab_file}"
+    with open(lab_file, encoding="utf-8") as f:
+        sentence = f.readline()
+
+    markers = update_markers(file_name, marker_rows, sentence, sent_begin,
+                             int_durs, hparams, logger)
+    if markers is None:
+        return None
+
+    all_durs = np.array([int(r[2]) for r in markers])
+    frames_energy = extract_energy(np.exp(mel_spec))
+    symbols_energy = symbols_mean(frames_energy, all_durs)
+    frames_pitch = extract_pitch(wav, fs, hparams)
+    assert len(frames_pitch) == nb_frames, \
+        f"{markers_file} -- pitch {len(frames_pitch)} vs mel {nb_frames}"
+    symbols_pitch = symbols_mean(frames_pitch, all_durs, voiced_only=True)
+
+    os.makedirs(features_dir, exist_ok=True)
+    np.save(os.path.join(features_dir, f"{file_name}.npy"),
+            mel_spec.astype(np.float32))
+    with open(os.path.join(features_dir, f"{file_name}.markers"), "w",
+              encoding="utf-8") as f:
+        f.writelines("\t".join(r) + "\n" for r in markers)
+    for name, vals in (("frames_nrg", frames_energy),
+                       ("symbols_nrg", symbols_energy),
+                       ("frames_f0", frames_pitch),
+                       ("symbols_f0", symbols_pitch)):
+        with open(os.path.join(features_dir, f"{file_name}.{name}"), "w",
+                  encoding="utf-8") as f:
+            f.writelines(_fmt_col(vals))
+    return file_name
+
+
+def _extract_one(files, features_dir, hparams, log_queue):
+    logger = worker_logger(log_queue)
+    markers_file, wav_file = files
+    try:
+        return extract_features_for_file(markers_file, wav_file,
+                                         features_dir, hparams, logger)
+    except AssertionError as e:
+        logger.warning(str(e))
+        return None
+
+
+# ----------------------------------------------------------------------
+# Orchestration
+# ----------------------------------------------------------------------
+def extract_features(dataset_dir: str, features_dir: str, hparams,
+                     n_jobs: int):
+    """Extract features for every speaker (multiprocess, incremental)."""
+    for speaker in hparams.speakers:
+        _logger.info(f'Speaker: "{speaker}"')
+        wavs_dir = os.path.join(dataset_dir, speaker, "wavs")
+        markers_dir = os.path.join(dataset_dir, speaker, "align")
+        assert os.path.isdir(wavs_dir), f"missing {wavs_dir}"
+        assert os.path.isdir(markers_dir), f"missing {markers_dir}"
+        spk_features_dir = os.path.join(features_dir, speaker)
+        metadata = os.path.join(spk_features_dir, "metadata.csv")
+        assert os.path.isfile(metadata), f"missing {metadata}"
+
+        with open(metadata, encoding="utf-8") as f:
+            names = [line.strip().split("|")[0].strip() for line in f
+                     if line.strip()]
+        names = [x for x in names if os.path.isfile(
+            os.path.join(markers_dir, f"{x}.markers"))]
+        done = {x[:-len(".symbols_f0")] for x in os.listdir(spk_features_dir)
+                if x.endswith(".symbols_f0")}
+        todo = [x for x in names if x not in done]
+        _logger.info(f"{len(done)} files already processed -- "
+                     f"{len(todo)} new files to process")
+
+        files = [(os.path.join(markers_dir, f"{x}.markers"),
+                  os.path.join(wavs_dir, f"{x}.wav")) for x in todo]
+        launch_multi_process(iterable=files, func=_extract_one,
+                             n_jobs=n_jobs, features_dir=spk_features_dir,
+                             hparams=hparams)
+        hparams.save_hyper_params(
+            os.path.join(spk_features_dir, "config.json"))

@@ -1,0 +1,90 @@
+"""Training-set feature statistics -> ``stats.json``.
+
+Per-speaker mean/std/min/max of non-zero per-symbol energy and voiced
+per-symbol log-pitch, plus per-symbol duration min/max/mean/std.
+Used for per-speaker standardization at load time and for the Hz-domain
+pitch-shift de/re-normalization at inference.
+
+Behavioral parity: /root/reference/src/daft_exprt/features_stats.py
+:90-165 (same keys: ``spk {id}`` -> {energy, pitch}, ``symbols`` ->
+per-symbol duration stats).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from collections import defaultdict
+
+import numpy as np
+
+from daft_exprt_tpu.utils import launch_multi_process, worker_logger
+
+_logger = logging.getLogger(__name__)
+
+
+def read_training_lines(list_file: str):
+    """Parse a train/validation list: [(features_dir, file, spk_id)]."""
+    with open(list_file, encoding="utf-8") as f:
+        rows = [line.strip().split("|") for line in f if line.strip()]
+    return [(r[0], r[1], int(r[2])) for r in rows]
+
+
+def _file_stats(item, symbols, log_queue):
+    """Per-file worker: symbol durations + nonzero energy + voiced pitch."""
+    logger = worker_logger(log_queue)
+    features_dir, feature_file = item
+    base = os.path.join(features_dir, feature_file)
+
+    durs = []
+    with open(base + ".markers", encoding="utf-8") as f:
+        for line in f:
+            begin, end, _, symbol, _, _ = line.strip().split("\t")
+            if symbol not in symbols:
+                logger.error(f'{base}.markers -- unknown symbol "{symbol}"')
+            durs.append((symbol, float(end) - float(begin)))
+
+    def nonzero(path):
+        with open(path, encoding="utf-8") as f:
+            vals = [float(x) for x in f]
+        return [v for v in vals if v != 0.0]
+
+    return durs, nonzero(base + ".symbols_nrg"), nonzero(base + ".symbols_f0")
+
+
+def extract_features_stats(hparams, n_jobs: int) -> dict:
+    """Compute the stats dict over the *training* set only."""
+    training = read_training_lines(hparams.training_files)
+    symbols = set(hparams.symbols)
+
+    symbol_durs = defaultdict(list)
+    stats = {}
+    for speaker_id in sorted(set(hparams.speakers_id)):
+        _logger.info(f"Speaker ID: {speaker_id}")
+        items = [(d, f) for d, f, sid in training if sid == speaker_id]
+        results = launch_multi_process(
+            iterable=items, func=_file_stats, n_jobs=n_jobs,
+            symbols=symbols, timer_verbose=False)
+        energy, pitch = [], []
+        for durs, nrg, f0 in results:
+            for symbol, d in durs:
+                symbol_durs[symbol].append(d)
+            energy.extend(nrg)
+            pitch.extend(f0)
+        stats[f"spk {speaker_id}"] = {
+            "energy": {"mean": float(np.mean(energy)),
+                       "std": float(np.std(energy)),
+                       "min": float(np.min(energy)),
+                       "max": float(np.max(energy))},
+            "pitch": {"mean": float(np.mean(pitch)),
+                      "std": float(np.std(pitch)),
+                      "min": float(np.min(pitch)),
+                      "max": float(np.max(pitch))},
+        }
+
+    stats["symbols"] = {
+        symbol: {"dur_min": float(np.min(d)), "dur_max": float(np.max(d)),
+                 "dur_mean": float(np.mean(d)), "dur_std": float(np.std(d))}
+        for symbol, d in symbol_durs.items()
+    }
+    return stats

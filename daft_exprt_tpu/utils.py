@@ -1,0 +1,159 @@
+"""Host-side utilities: multiprocessing fan-out, progress, plotting.
+
+The preprocessing pipeline (alignment ingestion, feature extraction,
+Griffin-Lim previews) is embarrassingly parallel host work; this module
+provides the pool launcher with centralized queue logging used across
+the pipeline, mirroring the capability of the reference's utils
+(/root/reference/src/daft_exprt/utils.py:92-227).
+"""
+
+from __future__ import annotations
+
+import logging
+import multiprocessing as mp
+import sys
+import threading
+import time
+from functools import partial
+
+_logger = logging.getLogger(__name__)
+
+
+def chunker(seq, size: int):
+    """Yield successive chunks of ``size`` items from ``seq``."""
+    return (seq[pos:pos + size] for pos in range(0, len(seq), size))
+
+
+def get_nb_jobs(n_jobs) -> int:
+    """Resolve an ``n_jobs`` spec ('max' or int) to a concrete count."""
+    max_jobs = mp.cpu_count()
+    if n_jobs == "max":
+        return max_jobs
+    n = int(n_jobs)
+    if n > max_jobs:
+        _logger.warning(
+            f"Requested {n} parallel jobs but only {max_jobs} CPUs -- "
+            f"using {max_jobs}")
+        return max_jobs
+    return n
+
+
+def _progress(i: int, n: int, t0: float, bar_size: int = 16):
+    done = ((i + 1) * bar_size) // n
+    bar = "#" * (done + 1) + "-" * (bar_size - done - 1)
+    eta = (n - i - 1) * (time.time() - t0) / (i + 1)
+    mins, secs = divmod(int(eta), 60)
+    hours, mins = divmod(mins, 60)
+    end = " Finished!\n" if i + 1 == n else " "
+    sys.stdout.write(f"\r{bar} {i + 1}/{n} -- ETA {hours:02}:{mins:02}:"
+                     f"{secs:02} --{end}")
+
+
+def _log_listener(queue):
+    while True:
+        record = queue.get()
+        if record is None:
+            break
+        _logger.handle(record)
+
+
+def worker_logger(log_queue) -> logging.Logger:
+    """Build a per-worker logger that forwards to the parent's queue."""
+    import logging.handlers
+    import uuid
+    root = logging.getLogger()
+    if not root.hasHandlers():
+        root.setLevel(logging.INFO)
+        root.addHandler(logging.handlers.QueueHandler(log_queue))
+    return logging.getLogger(f"worker{uuid.uuid4()}")
+
+
+def launch_multi_process(iterable, func, n_jobs: int, chunksize: int = 1,
+                         ordered: bool = True, timer_verbose: bool = True,
+                         **kwargs):
+    """Fan ``func`` out over ``iterable`` with a process pool.
+
+    ``func`` must accept a ``log_queue`` keyword (pass it to
+    ``worker_logger`` to log from workers); results are gathered into a
+    list (input order preserved when ``ordered``).
+    """
+    manager = mp.Manager()
+    queue = manager.Queue()
+    listener = threading.Thread(target=_log_listener, args=(queue,))
+    listener.start()
+
+    results = []
+    t0 = time.time()
+    n = len(iterable)
+    with mp.Pool(processes=n_jobs) as pool:
+        bound = partial(func, log_queue=queue, **kwargs)
+        it = (pool.imap if ordered else pool.imap_unordered)(
+            bound, iterable, chunksize=chunksize)
+        for i, out in enumerate(it):
+            results.append(out)
+            if timer_verbose and n:
+                _progress(i, n, t0)
+        pool.close()
+        pool.join()
+
+    queue.put(None)
+    listener.join()
+    return results
+
+
+# ----------------------------------------------------------------------
+# Plotting (figures for TensorBoard validation panels and synthesis)
+# ----------------------------------------------------------------------
+def _mpl():
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    return plt
+
+
+def plot_histogram(data, filename=None, fig=None, n_rows=1, n_cols=1,
+                   plot_id=1, x_label=""):
+    plt = _mpl()
+    fig = fig or plt.figure(figsize=(6 * n_cols, 4 * n_rows))
+    ax = fig.add_subplot(n_rows, n_cols, plot_id)
+    ax.hist(data, bins=50)
+    ax.set_xlabel(x_label)
+    if filename:
+        fig.savefig(filename)
+        plt.close(fig)
+    return fig
+
+
+def plot_scatter(targets, preds, filename=None, fig=None, n_rows=1,
+                 n_cols=1, plot_id=1, x_label=""):
+    plt = _mpl()
+    fig = fig or plt.figure(figsize=(6 * n_cols, 4 * n_rows))
+    ax = fig.add_subplot(n_rows, n_cols, plot_id)
+    ax.scatter(targets, preds, s=4, alpha=0.5)
+    lim = [min(min(targets), min(preds)), max(max(targets), max(preds))]
+    ax.plot(lim, lim, "r--", linewidth=1)
+    ax.set_xlabel(f"{x_label} target")
+    ax.set_ylabel(f"{x_label} prediction")
+    if filename:
+        fig.savefig(filename)
+        plt.close(fig)
+    return fig
+
+
+def plot_2d_data(data, x_labels=(), filename=None):
+    """Stack of 2-D arrays (mel-specs, alignment maps) as image panels."""
+    plt = _mpl()
+    n = len(data)
+    fig, axes = plt.subplots(n, 1, figsize=(10, 3 * n), squeeze=False)
+    for i, arr in enumerate(data):
+        ax = axes[i, 0]
+        im = ax.imshow(arr, aspect="auto", origin="lower",
+                       interpolation="none")
+        fig.colorbar(im, ax=ax)
+        if i < len(x_labels):
+            ax.set_title(x_labels[i])
+    fig.tight_layout()
+    if filename:
+        fig.savefig(filename)
+        plt.close(fig)
+    return fig

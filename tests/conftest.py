@@ -1,18 +1,24 @@
-"""Test configuration: force an 8-device CPU mesh before JAX loads.
+"""Test configuration: force an 8-device CPU mesh before JAX backend init.
 
 Multi-device sharding tests run against virtual CPU devices (the
 TPU-native analog of testing multi-node behavior without a cluster).
+
+NOTE: the environment may pre-import jax at interpreter startup (axon
+sitecustomize) with JAX_PLATFORMS=axon (real TPU via tunnel), so env-var
+overrides are too late -- we must go through jax.config.update, which
+works any time before first backend use.
 """
 
 import os
 
-# Force-override: the environment may preset JAX_PLATFORMS=axon,cpu
-# (real TPU via tunnel); tests must run on virtual CPU devices.
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -21,8 +21,9 @@ def test_adversarial_weight_schedule():
     w_late = float(adversarial_weight(10 * warmup, warmup, adv_max))
     assert w0 == 0.0
     assert 0 < w_half < adv_max
-    assert abs(w_full - adv_max) < 1e-9
-    assert w_late == adv_max
+    # float32 on device: the cap is adv_max to f32 precision
+    assert abs(w_full - adv_max) < 1e-8
+    assert abs(w_late - adv_max) < 1e-8
     # exact formula value
     it = 1234
     expected = it * warmup ** -1.5 * adv_max / warmup ** -0.5
