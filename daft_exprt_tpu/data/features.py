@@ -149,6 +149,9 @@ def symbols_mean(frame_values: np.ndarray, int_durs: np.ndarray,
     int_durs = np.asarray(int_durs, np.int64)
     offsets = np.concatenate([[0], np.cumsum(int_durs)[:-1]])
     vals = np.asarray(frame_values, np.float64)
+    # trailing zero-duration symbols (EOS/end punctuation) have offsets
+    # == len(vals); clip for reduceat -- their means are zeroed below
+    offsets = np.minimum(offsets, max(len(vals) - 1, 0))
     if voiced_only:
         mask = (vals > 0.0).astype(np.float64)
         sums = np.add.reduceat(vals * mask, offsets)
@@ -249,23 +252,129 @@ def extract_features_for_file(markers_file: str, wav_file: str,
     return file_name
 
 
-def _extract_one(files, features_dir, hparams, log_queue):
+def _prepare_one(files, hparams, log_queue):
+    """Pool worker: everything numpy-only (NO jax in forked workers).
+
+    Loads + trims the wav, validates markers, quantizes durations,
+    rewrites markers, runs the NCCF pitch tracker. The mel/energy device
+    kernel runs batched in the main process afterwards.
+    """
     logger = worker_logger(log_queue)
     markers_file, wav_file = files
     try:
-        return extract_features_for_file(markers_file, wav_file,
-                                         features_dir, hparams, logger)
+        assert os.path.isfile(markers_file), f"missing {markers_file}"
+        assert os.path.isfile(wav_file), f"missing {wav_file}"
+        with open(markers_file, encoding="utf-8") as f:
+            marker_rows = [line.strip().split("\t") for line in f
+                           if line.strip()]
+        fft_sec = hparams.filter_length / hparams.sampling_rate
+        assert min_phone_duration(marker_rows) > fft_sec / 2, (
+            f"{markers_file} -- phone shorter than filter_length/2")
+        sent_begin = float(marker_rows[0][0])
+        sent_end = float(marker_rows[-1][1])
+        if sent_end - sent_begin < hparams.minimum_wav_duration / 1000:
+            logger.warning(f"Ignoring {wav_file} -- too short after trim")
+            return None
+        wav, fs = load_wav(wav_file, target_sr=hparams.sampling_rate)
+        wav = wav[int(sent_begin * fs):int(sent_end * fs)]
+
+        # mel frame count is deterministic: 1 + len(wav) // hop (centered)
+        nb_frames = 1 + len(wav) // hparams.hop_length
+
+        float_durs = [[float(r[0]) - sent_begin, float(r[1]) - sent_begin]
+                      for r in marker_rows]
+        int_durs = duration_to_integer(float_durs, hparams,
+                                       nb_samples=len(wav))
+        assert len(int_durs) == len(marker_rows), markers_file
+        assert sum(int_durs) == nb_frames, markers_file
+        assert 0 not in int_durs, markers_file
+
+        file_name = os.path.basename(markers_file)[:-len(".markers")]
+        lab_file = os.path.join(os.path.dirname(markers_file),
+                                f"{file_name}.lab")
+        assert os.path.isfile(lab_file), f"missing {lab_file}"
+        with open(lab_file, encoding="utf-8") as f:
+            sentence = f.readline()
+        markers = update_markers(file_name, marker_rows, sentence,
+                                 sent_begin, int_durs, hparams, logger)
+        if markers is None:
+            return None
+        frames_pitch = extract_pitch(wav, fs, hparams)
+        assert len(frames_pitch) == nb_frames, markers_file
+        return {"file_name": file_name, "wav": wav, "markers": markers,
+                "frames_pitch": frames_pitch}
     except AssertionError as e:
         logger.warning(str(e))
         return None
+
+
+def _mel_energy_batched(wavs: list, hparams):
+    """Batched on-device mel+energy, bit-exact with per-utterance STFT.
+
+    Wavs are right-padded to a common sample bucket. The reflect
+    padding a per-utterance centered STFT would apply at the true end
+    is written manually into the padding region, so cropped frames are
+    identical to single-utterance extraction.
+    """
+    from daft_exprt_tpu.ops.mel import mel_and_energy_batch
+    hop, n_fft = hparams.hop_length, hparams.filter_length
+    pad = n_fft // 2
+    sample_bucket = hop * 128
+    max_len = max(len(w) for w in wavs) + pad
+    S = ((max_len + sample_bucket - 1) // sample_bucket) * sample_bucket
+    batch = np.zeros((len(wavs), S), np.float32)
+    for i, w in enumerate(wavs):
+        n = len(w)
+        batch[i, :n] = w
+        # np.pad 'reflect' right edge: padded sample j = w[n - 2 - j]
+        m = min(pad, n - 1)
+        batch[i, n:n + m] = w[n - 2:n - 2 - m:-1]
+    log_mel, energy = mel_and_energy_batch(
+        batch, hparams.sampling_rate, n_fft, hop, hparams.n_mel_channels,
+        hparams.mel_fmin, hparams.mel_fmax, hparams.min_clipping,
+        hparams.centered)
+    log_mel = np.asarray(log_mel)
+    energy = np.asarray(energy)
+    out = []
+    for i, w in enumerate(wavs):
+        t = 1 + len(w) // hop
+        out.append((log_mel[i, :, :t], energy[i, :t]))
+    return out
+
+
+def _write_features(features_dir: str, item: dict, log_mel: np.ndarray,
+                    frames_energy: np.ndarray):
+    file_name = item["file_name"]
+    markers = item["markers"]
+    all_durs = np.array([int(r[2]) for r in markers])
+    symbols_energy = symbols_mean(frames_energy, all_durs)
+    symbols_pitch = symbols_mean(item["frames_pitch"], all_durs,
+                                 voiced_only=True)
+    os.makedirs(features_dir, exist_ok=True)
+    np.save(os.path.join(features_dir, f"{file_name}.npy"),
+            log_mel.astype(np.float32))
+    with open(os.path.join(features_dir, f"{file_name}.markers"), "w",
+              encoding="utf-8") as f:
+        f.writelines("\t".join(r) + "\n" for r in markers)
+    for name, vals in (("frames_nrg", frames_energy),
+                       ("symbols_nrg", symbols_energy),
+                       ("frames_f0", item["frames_pitch"]),
+                       ("symbols_f0", symbols_pitch)):
+        with open(os.path.join(features_dir, f"{file_name}.{name}"), "w",
+                  encoding="utf-8") as f:
+            f.writelines(_fmt_col(vals))
 
 
 # ----------------------------------------------------------------------
 # Orchestration
 # ----------------------------------------------------------------------
 def extract_features(dataset_dir: str, features_dir: str, hparams,
-                     n_jobs: int):
-    """Extract features for every speaker (multiprocess, incremental)."""
+                     n_jobs: int, device_batch: int = 32):
+    """Extract features for every speaker (incremental).
+
+    Host pool (numpy) prepares wavs/markers/pitch; mel+energy run as
+    bucketed batched device kernels in the main process.
+    """
     for speaker in hparams.speakers:
         _logger.info(f'Speaker: "{speaker}"')
         wavs_dir = os.path.join(dataset_dir, speaker, "wavs")
@@ -289,8 +398,16 @@ def extract_features(dataset_dir: str, features_dir: str, hparams,
 
         files = [(os.path.join(markers_dir, f"{x}.markers"),
                   os.path.join(wavs_dir, f"{x}.wav")) for x in todo]
-        launch_multi_process(iterable=files, func=_extract_one,
-                             n_jobs=n_jobs, features_dir=spk_features_dir,
-                             hparams=hparams)
+        for chunk_start in range(0, len(files), device_batch):
+            chunk = files[chunk_start:chunk_start + device_batch]
+            items = launch_multi_process(
+                iterable=chunk, func=_prepare_one, n_jobs=n_jobs,
+                hparams=hparams, timer_verbose=False)
+            items = [x for x in items if x is not None]
+            if not items:
+                continue
+            mels = _mel_energy_batched([x["wav"] for x in items], hparams)
+            for item, (log_mel, energy) in zip(items, mels):
+                _write_features(spk_features_dir, item, log_mel, energy)
         hparams.save_hyper_params(
             os.path.join(spk_features_dir, "config.json"))

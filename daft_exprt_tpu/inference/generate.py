@@ -1,0 +1,337 @@
+"""Batched mel-spectrogram generation with prosody control.
+
+Capability parity with the reference generation API
+(/root/reference/src/daft_exprt/generate.py): sentence phonemization,
+style-reference feature extraction to ``.npz``, batched inference with
+per-symbol duration/energy/pitch control factors, per-utterance crop +
+save, optional Griffin-Lim audio previews, and the "DaftExprt RTF"
+wall-clock instrument.
+
+TPU-first design:
+
+- inference graphs are jitted once per **shape bucket** (L_bucket,
+  T_ref bucket, batch) and cached -- every subsequent batch in the same
+  bucket reuses the compiled executable;
+- collation pads straight into those buckets (no sort-by-length needed:
+  static shapes make batch order irrelevant);
+- per-speaker pitch statistics ride along as (n_speakers,) device
+  arrays so the Hz-domain pitch shift stays inside the compiled graph.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from daft_exprt_tpu.audio.griffin_lim import \
+    griffin_lim_reconstruction_from_mel_spec
+from daft_exprt_tpu.audio.io import load_wav, save_wav
+from daft_exprt_tpu.audio.pitch import extract_pitch
+from daft_exprt_tpu.data.loader import bucket_size
+from daft_exprt_tpu.ops.mel import extract_energy, mel_spectrogram_hifi
+from daft_exprt_tpu.text.phonemizer import (phonemize_sentence,
+                                            serialize_phonemized)
+from daft_exprt_tpu.utils import chunker, launch_multi_process, \
+    plot_2d_data, worker_logger
+
+_logger = logging.getLogger(__name__)
+
+
+# ----------------------------------------------------------------------
+# Style reference extraction
+# ----------------------------------------------------------------------
+def extract_reference_parameters(audio_ref: str, output_dir: str, hparams):
+    """Style wav -> ``.npz`` with {energy, pitch, mel_spec} arrays.
+
+    Idempotent: skips existing .npz files (reference generate.py:440-462).
+    """
+    os.makedirs(output_dir, exist_ok=True)
+    file_name = os.path.basename(audio_ref).replace(".wav", "")
+    ref_file = os.path.join(output_dir, f"{file_name}.npz")
+    if os.path.isfile(ref_file):
+        return ref_file
+    wav, fs = load_wav(audio_ref, target_sr=hparams.sampling_rate)
+    pitch = extract_pitch(wav, fs, hparams)
+    mel_spec = mel_spectrogram_hifi(wav, hparams)
+    energy = extract_energy(np.exp(mel_spec))
+    assert len(pitch) == mel_spec.shape[1], (len(pitch), mel_spec.shape)
+    assert len(energy) == mel_spec.shape[1], (len(energy), mel_spec.shape)
+    np.savez(ref_file, energy=energy, pitch=pitch, mel_spec=mel_spec)
+    return ref_file
+
+
+# ----------------------------------------------------------------------
+# Per-speaker pitch stats as device arrays
+# ----------------------------------------------------------------------
+def pitch_stats_arrays(hparams):
+    """(pitch_means, pitch_stds) float32 arrays indexed by speaker id."""
+    means = np.zeros((hparams.n_speakers,), np.float32)
+    stds = np.ones((hparams.n_speakers,), np.float32)
+    for sid in set(hparams.speakers_id):
+        key = f"spk {sid}"
+        if key in hparams.stats:
+            means[sid] = hparams.stats[key]["pitch"]["mean"]
+            stds[sid] = max(hparams.stats[key]["pitch"]["std"], 1e-6)
+    return jnp.asarray(means), jnp.asarray(stds)
+
+
+# ----------------------------------------------------------------------
+# Collation (bucketed static shapes)
+# ----------------------------------------------------------------------
+def encode_symbols(sentence, hparams) -> np.ndarray:
+    """Phonemized sentence structure -> int32 symbol id sequence."""
+    ids = []
+    for item in sentence:
+        if isinstance(item, list):
+            ids.extend(hparams.symbols.index(p) for p in item)
+        else:
+            ids.append(hparams.symbols.index(item))
+    return np.array(ids, np.int32)
+
+
+def collate_inference_batch(batch_sentences, batch_dur_factors,
+                            batch_energy_factors, batch_pitch_factors,
+                            pitch_transform, batch_refs, batch_speaker_ids,
+                            hparams, pad_batch_to: int | None = None):
+    """Pad one inference batch into static (B, L_bucket, T_bucket) arrays.
+
+    Control-factor semantics match the reference (generate.py:140-239):
+    None -> neutral (1 for dur/energy; 0 for pitch 'add', 1 for pitch
+    'multiply'); per-sentence lists must match the symbol count.
+
+    :return: (inputs tuple for DaftExprt.inference, true batch size)
+    """
+    hp = hparams
+    sym_seqs = [encode_symbols(s, hp) for s in batch_sentences]
+    refs = [np.load(r) for r in batch_refs]
+    B = len(sym_seqs)
+    B_pad = pad_batch_to or B
+    L = bucket_size(max(len(s) for s in sym_seqs), hp.symbol_bucket,
+                    hp.max_symbols)
+    T = bucket_size(max(r["mel_spec"].shape[1] for r in refs),
+                    hp.frame_bucket, hp.max_frames)
+
+    neutral_pitch = 0.0 if pitch_transform == "add" else 1.0
+    symbols = np.zeros((B_pad, L), np.int32)
+    dur_factors = np.ones((B_pad, L), np.float32)
+    energy_factors = np.ones((B_pad, L), np.float32)
+    pitch_factors = np.full((B_pad, L), neutral_pitch, np.float32)
+    input_lengths = np.ones((B_pad,), np.int32)
+    energy_refs = np.zeros((B_pad, T), np.float32)
+    pitch_refs = np.zeros((B_pad, T), np.float32)
+    mel_refs = np.zeros((B_pad, hp.n_mel_channels, T), np.float32)
+    ref_lengths = np.ones((B_pad,), np.int32)
+    speaker_ids = np.zeros((B_pad,), np.int32)
+
+    for i, seq in enumerate(sym_seqs):
+        n = len(seq)
+        symbols[i, :n] = seq
+        input_lengths[i] = n
+        for arr, factors in ((dur_factors, batch_dur_factors),
+                             (energy_factors, batch_energy_factors),
+                             (pitch_factors, batch_pitch_factors)):
+            f = factors[i] if factors is not None else None
+            if f is not None:
+                assert len(f) == n, (len(f), n)
+                arr[i, :n] = f
+        t = refs[i]["mel_spec"].shape[1]
+        energy_refs[i, :t] = refs[i]["energy"]
+        pitch_refs[i, :t] = refs[i]["pitch"]
+        mel_refs[i, :, :t] = refs[i]["mel_spec"]
+        ref_lengths[i] = t
+        speaker_ids[i] = batch_speaker_ids[i]
+
+    inputs = (symbols, dur_factors, energy_factors, pitch_factors,
+              input_lengths, energy_refs, pitch_refs, mel_refs,
+              ref_lengths, speaker_ids)
+    return inputs, B
+
+
+# ----------------------------------------------------------------------
+# Jitted inference with per-bucket executable caching
+# ----------------------------------------------------------------------
+class InferenceEngine:
+    """Holds the model + params and a cache of per-bucket executables."""
+
+    def __init__(self, model, params, hparams, max_out_frames=None):
+        self.model = model
+        self.params = params
+        self.hp = hparams
+        self.max_out_frames = max_out_frames or hparams.max_frames
+        self.pitch_means, self.pitch_stds = pitch_stats_arrays(hparams)
+        self._compiled = {}
+
+    def _fn(self, pitch_transform: str):
+        if pitch_transform not in self._compiled:
+            def run(params, inputs):
+                return self.model.inference(
+                    params, inputs, pitch_transform, self.pitch_means,
+                    self.pitch_stds, max_frames=self.max_out_frames)
+            self._compiled[pitch_transform] = jax.jit(run)
+        return self._compiled[pitch_transform]
+
+    def run(self, inputs, pitch_transform: str):
+        out = self._fn(pitch_transform)(self.params, inputs)
+        return jax.tree.map(np.asarray, out)
+
+
+# ----------------------------------------------------------------------
+# Batch generation
+# ----------------------------------------------------------------------
+def _save_preview_plot(item, output_dir, log_queue):
+    """Worker: plot only (no jax -- jax must not run in forked workers)."""
+    logger = worker_logger(log_queue)
+    file_name, mel_spec, weight = item
+    try:
+        plot_2d_data(data=(mel_spec, weight),
+                     x_labels=("Mel-Spec Prediction", "Alignments"),
+                     filename=os.path.join(output_dir, f"{file_name}.png"))
+    except Exception as e:  # previews must not kill generation
+        logger.warning(f"preview plot failed for {file_name}: {e}")
+
+
+def save_previews(predictions: dict, output_dir: str, hparams,
+                  n_jobs: int = 1):
+    """Griffin-Lim audio (jitted JAX, main process) + plots (pool)."""
+    for file_name, p in predictions.items():
+        mel_spec = p[4]
+        wav = griffin_lim_reconstruction_from_mel_spec(mel_spec, hparams)
+        if wav.size:
+            save_wav(os.path.join(output_dir, f"{file_name}.wav"), wav,
+                     hparams.sampling_rate)
+    items = [[name, p[4], p[5]] for name, p in predictions.items()]
+    launch_multi_process(iterable=items, func=_save_preview_plot,
+                         n_jobs=n_jobs, timer_verbose=False,
+                         output_dir=output_dir)
+
+
+def generate_mel_specs(engine: InferenceEngine, sentences, file_names,
+                       speaker_ids, refs, output_dir, hparams,
+                       dur_factors=None, energy_factors=None,
+                       pitch_factors=None, batch_size: int = 50,
+                       n_jobs: int = 1, use_griffin_lim: bool = False,
+                       get_time_perf: bool = False) -> dict:
+    """Generate mel-specs for phonemized sentences (see reference
+    generate.py:320-437 for the argument contract).
+
+    ``pitch_factors`` is ``["add"|"multiply", [per-sentence lists]]`` or
+    None (neutral 'add').
+
+    :return: {file_name: [duration_pred, duration_int, energy_pred,
+              pitch_pred, mel_spec, weights]}
+    """
+    hp = hparams
+    N = len(sentences)
+    dur_factors = dur_factors or [None] * N
+    energy_factors = energy_factors or [None] * N
+    pitch_factors = pitch_factors or ["add", [None] * N]
+    pitch_transform = pitch_factors[0].lower()
+    pitch_factors = pitch_factors[1]
+    assert pitch_transform in ("add", "multiply"), pitch_transform
+    for name, lst in (("file_names", file_names),
+                      ("speaker_ids", speaker_ids), ("refs", refs),
+                      ("dur_factors", dur_factors),
+                      ("energy_factors", energy_factors),
+                      ("pitch_factors", pitch_factors)):
+        assert len(lst) == N, f"{name}: {len(lst)} != {N} sentences"
+
+    os.makedirs(output_dir, exist_ok=True)
+    predictions, batch_times, audio_seconds = {}, [], []
+
+    idx_chunks = list(chunker(list(range(N)), batch_size))
+    for chunk in idx_chunks:
+        t0 = time.perf_counter() if get_time_perf else None
+        names = [f"{file_names[i]}_spk_{speaker_ids[i]}_ref_"
+                 f"{os.path.basename(refs[i]).replace('.npz', '')}"
+                 for i in chunk]
+        inputs, B = collate_inference_batch(
+            [sentences[i] for i in chunk],
+            [dur_factors[i] for i in chunk],
+            [energy_factors[i] for i in chunk],
+            [pitch_factors[i] for i in chunk],
+            pitch_transform,
+            [refs[i] for i in chunk],
+            [speaker_ids[i] for i in chunk],
+            hp, pad_batch_to=batch_size if get_time_perf else None)
+        encoder_preds, decoder_preds, weights = engine.run(
+            inputs, pitch_transform)
+        dur_pred, dur_int, energy_pred, pitch_pred, in_lens = encoder_preds
+        mel_preds, out_lens = decoder_preds
+
+        for row, file_name in enumerate(names):
+            n = int(in_lens[row])
+            t = int(out_lens[row])
+            mel = mel_preds[row, :, :t]
+            predictions[file_name] = [
+                dur_pred[row, :n], dur_int[row, :n], energy_pred[row, :n],
+                pitch_pred[row, :n], mel, weights[row, :n, :t]]
+            np.savez(os.path.join(output_dir, f"{file_name}.npz"),
+                     mel_spec=mel)
+        if get_time_perf:
+            batch_times.append(time.perf_counter() - t0)
+
+    if use_griffin_lim:
+        save_previews(predictions, output_dir, hp, n_jobs=n_jobs)
+
+    if get_time_perf:
+        # audio-second accounting incl. centered-STFT padding removal
+        # (reference generate.py:421-435)
+        for _, _, _, _, mel, _ in predictions.values():
+            nb_frames = mel.shape[1]
+            nb_samples = (nb_frames - 1) * hp.hop_length + hp.filter_length
+            if hp.centered:
+                nb_samples -= 2 * (hp.filter_length // 2)
+            audio_seconds.append(nb_samples / hp.sampling_rate)
+        total_t = sum(batch_times)
+        _logger.info(
+            f"{len(predictions)} sentences ({sum(audio_seconds):.2f}s) "
+            f"generated in {total_t:.2f}s")
+        rtf = sum(audio_seconds) / total_t if total_t else float("nan")
+        _logger.info(f"DaftExprt RTF: {rtf:.2f}")
+        predictions["__rtf__"] = rtf
+    return predictions
+
+
+# ----------------------------------------------------------------------
+# Sentence preparation
+# ----------------------------------------------------------------------
+def _phonemize_worker(sentence, hparams, log_queue):
+    worker_logger(log_queue)
+    return phonemize_sentence(sentence, hparams)
+
+
+def prepare_sentences_for_inference(text_file: str, output_dir: str,
+                                    hparams, n_jobs: int):
+    """Phonemize a sentence file; returns (sentences, file_names).
+
+    Lines already in the ``{PHONE ...}`` format are parsed directly
+    (MFA-free path); plain-text lines go through the dictionary
+    phonemizer.
+    """
+    from daft_exprt_tpu.text.phonemizer import parse_phonemized_line
+    os.makedirs(output_dir, exist_ok=True)
+    assert os.path.isfile(text_file), f"missing {text_file}"
+    with open(text_file, encoding="utf-8") as f:
+        raw = [line.strip() for line in f if line.strip()]
+    file_names = [f"{os.path.basename(text_file)}_line{i}"
+                  for i in range(len(raw))]
+
+    pre = [line for line in raw if "{" in line]
+    if len(pre) == len(raw):
+        sentences = [parse_phonemized_line(line) for line in raw]
+    else:
+        sentences = launch_multi_process(
+            iterable=raw, func=_phonemize_worker, n_jobs=n_jobs,
+            timer_verbose=False, hparams=hparams)
+
+    with open(os.path.join(output_dir, "sentences_to_generate.txt"), "w",
+              encoding="utf-8") as f:
+        for sentence, file_name in zip(sentences, file_names):
+            f.write(f"{file_name}|{serialize_phonemized(sentence)}\n")
+    return sentences, file_names

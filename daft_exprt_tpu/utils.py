@@ -77,7 +77,14 @@ def launch_multi_process(iterable, func, n_jobs: int, chunksize: int = 1,
     ``worker_logger`` to log from workers); results are gathered into a
     list (input order preserved when ``ordered``).
     """
-    manager = mp.Manager()
+    # fork (spawn re-runs interpreter bootstrap, which in TPU-attached
+    # environments re-registers the device plugin and can block on the
+    # chip the parent holds). RULE: worker functions must be jax-free --
+    # forking a multithreaded jax parent is tolerated, running jax in
+    # the child is not. Device work (mel, Griffin-Lim) happens batched
+    # in the main process instead.
+    ctx = mp.get_context("fork")
+    manager = ctx.Manager()
     queue = manager.Queue()
     listener = threading.Thread(target=_log_listener, args=(queue,))
     listener.start()
@@ -85,7 +92,7 @@ def launch_multi_process(iterable, func, n_jobs: int, chunksize: int = 1,
     results = []
     t0 = time.time()
     n = len(iterable)
-    with mp.Pool(processes=n_jobs) as pool:
+    with ctx.Pool(processes=n_jobs) as pool:
         bound = partial(func, log_queue=queue, **kwargs)
         it = (pool.imap if ordered else pool.imap_unordered)(
             bound, iterable, chunksize=chunksize)

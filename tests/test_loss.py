@@ -28,7 +28,7 @@ def test_adversarial_weight_schedule():
     it = 1234
     expected = it * warmup ** -1.5 * adv_max / warmup ** -0.5
     assert abs(float(adversarial_weight(it, warmup, adv_max))
-               - expected) < 1e-12
+               - expected) < 1e-9
 
 
 def test_lr_schedule():

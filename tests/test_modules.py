@@ -101,7 +101,9 @@ def test_positional_encoding_matches_torch_formula():
     ref = torch.zeros(100, 32)
     ref[:, 0::2] = torch.sin(pos * div_term)
     ref[:, 1::2] = torch.cos(pos * div_term)
-    np.testing.assert_allclose(table, ref.numpy(), atol=1e-6)
+    # our table computes sin/cos in float64 then casts; torch computes
+    # in float32 throughout -- differences are pure rounding
+    np.testing.assert_allclose(table, ref.numpy(), atol=1e-5)
 
 
 def test_gradient_reversal():

@@ -1,0 +1,197 @@
+"""End-to-end data pipeline test on a self-built synthetic corpus.
+
+Builds wavs + metadata + MFA-style TextGrids from scratch, then runs:
+markers extraction -> feature extraction (batched device mel) ->
+set creation -> stats -> data loader, checking the reference's
+invariants at every stage (SURVEY.md section 4).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from helpers import tiny_hparams
+
+from daft_exprt_tpu.audio.io import save_wav
+from daft_exprt_tpu.data.features import (extract_features,
+                                          extract_features_for_file)
+from daft_exprt_tpu.data.loader import (EvalLoader, FeatureDataset,
+                                        TrainLoader, collate)
+from daft_exprt_tpu.data.mfa import extract_markers
+from daft_exprt_tpu.data.sets import create_sets
+from daft_exprt_tpu.data.stats import extract_features_stats
+
+FS = 22050
+
+_PHONES = ["HH", "AH0", "L", "OW1", "W", "ER1", "D", "S", "IY1", "T"]
+_WORDS = [("hello", ["HH", "AH0", "L", "OW1"]),
+          ("world", ["W", "ER1", "L", "D"]),
+          ("sweet", ["S", "W", "IY1", "T"])]
+
+
+def _write_textgrid(path, words):
+    """words: [(word, [(phone, dur_sec), ...]), ...] with leading/
+    trailing silence added here."""
+    items = []
+    t = 0.0
+    word_rows, phone_rows = [], []
+    # leading silence
+    word_rows.append((t, t + 0.3, ""))
+    phone_rows.append((t, t + 0.3, "sil"))
+    t += 0.3
+    for word, phones in words:
+        w_start = t
+        for phone, dur in phones:
+            phone_rows.append((t, t + dur, phone))
+            t += dur
+        word_rows.append((w_start, t, word))
+    word_rows.append((t, t + 0.3, ""))
+    phone_rows.append((t, t + 0.3, ""))
+    t += 0.3
+
+    def tier(name, rows):
+        out = [f'        class = "IntervalTier"\n',
+               f'        name = "{name}"\n',
+               f"        xmin = 0\n        xmax = {t}\n",
+               f"        intervals: size = {len(rows)}\n"]
+        for i, (a, b, s) in enumerate(rows, 1):
+            out.append(f"        intervals [{i}]:\n"
+                       f"            xmin = {a}\n            xmax = {b}\n"
+                       f'            text = "{s}"\n')
+        return "".join(out)
+
+    with open(path, "w") as f:
+        f.write('File type = "ooTextFile"\nObject class = "TextGrid"\n\n'
+                f"xmin = 0\nxmax = {t}\ntiers? <exists>\nsize = 2\n"
+                "item []:\n    item [1]:\n")
+        f.write(tier("words", word_rows))
+        f.write("    item [2]:\n")
+        f.write(tier("phones", phone_rows))
+    return t
+
+
+def _build_corpus(root, speakers, rng):
+    dataset_dir = os.path.join(root, "dataset")
+    features_dir = os.path.join(root, "features")
+    for spk in speakers:
+        wavs = os.path.join(dataset_dir, spk, "wavs")
+        align = os.path.join(dataset_dir, spk, "align")
+        os.makedirs(wavs, exist_ok=True)
+        os.makedirs(align, exist_ok=True)
+        os.makedirs(os.path.join(features_dir, spk), exist_ok=True)
+        meta_lines = []
+        for i in range(3):
+            name = f"{spk}_utt{i}"
+            words = []
+            text = []
+            for w, phones in _WORDS[:2 + i % 2]:
+                durs = [(p, 0.12 + 0.03 * rng.random()) for p in phones]
+                words.append((w, durs))
+                text.append(w)
+            total = _write_textgrid(os.path.join(align, f"{name}.TextGrid"),
+                                    words)
+            # audio: harmonic tone (voiced) spanning the whole file
+            t = np.arange(int(total * FS)) / FS
+            f0 = 160 + 30 * np.sin(2 * np.pi * 1.5 * t)
+            phase = 2 * np.pi * np.cumsum(f0) / FS
+            wav = (0.5 * np.sin(phase) + 0.2 * np.sin(2 * phase)
+                   ).astype(np.float32)
+            save_wav(os.path.join(wavs, f"{name}.wav"), wav, FS)
+            sentence = " ".join(text)
+            meta_lines.append(f"{name}|{sentence}\n")
+            with open(os.path.join(align, f"{name}.lab"), "w") as f:
+                f.write(sentence)
+        for d in (os.path.join(dataset_dir, spk),
+                  os.path.join(features_dir, spk)):
+            with open(os.path.join(d, "metadata.csv"), "w") as f:
+                f.writelines(meta_lines)
+    return dataset_dir, features_dir
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("corpus"))
+    rng = np.random.default_rng(0)
+    hp = tiny_hparams(
+        output_directory=os.path.join(root, "exp"),
+        training_files=os.path.join(root, "exp", "train.txt"),
+        validation_files=os.path.join(root, "exp", "val.txt"),
+        speakers=["spk_a", "spk_b"],
+    )
+    dataset_dir, features_dir = _build_corpus(root, hp.speakers, rng)
+    return root, hp, dataset_dir, features_dir
+
+
+def test_full_pipeline(corpus):
+    root, hp, dataset_dir, features_dir = corpus
+
+    # 1. markers from TextGrids
+    for spk in hp.speakers:
+        align = os.path.join(dataset_dir, spk, "align")
+        extract_markers(align, n_jobs=2)
+        markers = [x for x in os.listdir(align) if x.endswith(".markers")]
+        assert len(markers) == 3
+
+    # 2. features (pool + batched device mel)
+    extract_features(dataset_dir, features_dir, hp, n_jobs=2,
+                     device_batch=4)
+    for spk in hp.speakers:
+        d = os.path.join(features_dir, spk)
+        npys = [x for x in os.listdir(d) if x.endswith(".npy")]
+        assert len(npys) == 3, os.listdir(d)
+        assert os.path.isfile(os.path.join(d, "config.json"))
+
+    # batched mel == per-file mel (bit-exact batching claim)
+    spk = hp.speakers[0]
+    d = os.path.join(features_dir, spk)
+    name = sorted(x for x in os.listdir(d) if x.endswith(".npy"))[0]
+    base = name[:-len(".npy")]
+    batched_mel = np.load(os.path.join(d, name))
+    import shutil
+    single_dir = os.path.join(root, "single")
+    out = extract_features_for_file(
+        os.path.join(dataset_dir, spk, "align", f"{base}.markers"),
+        os.path.join(dataset_dir, spk, "wavs", f"{base}.wav"),
+        single_dir, hp)
+    assert out == base
+    single_mel = np.load(os.path.join(single_dir, name))
+    np.testing.assert_allclose(batched_mel, single_mel, atol=2e-5)
+
+    # markers invariants: int durations sum to mel frames
+    with open(os.path.join(d, f"{base}.markers")) as f:
+        rows = [line.split("\t") for line in f]
+    assert sum(int(r[2]) for r in rows) == batched_mel.shape[1]
+
+    # 3. sets (guarantee >= 1 validation file per speaker)
+    create_sets(features_dir, hp, proportion_validation=0.1)
+    with open(hp.validation_files) as f:
+        val_lines = [x.strip().split("|") for x in f if x.strip()]
+    assert {int(x[2]) for x in val_lines} == set(hp.speakers_id)
+
+    # 4. stats
+    stats = extract_features_stats(hp, n_jobs=2)
+    for sid in hp.speakers_id:
+        assert stats[f"spk {sid}"]["pitch"]["std"] >= 0
+        assert stats[f"spk {sid}"]["energy"]["mean"] > 0
+    assert "symbols" in stats and "HH" in stats["symbols"]
+    hp.stats = stats
+
+    # 5. loader
+    ds = FeatureDataset(hp.training_files, hp)
+    ex = ds[0]
+    assert int(ex["durations_int"].sum()) == ex["mel_spec"].shape[1]
+    batch = collate([ds[i] for i in range(min(2, len(ds)))], hp)
+    assert batch["symbols"].shape[1] % hp.symbol_bucket == 0
+    assert batch["mel_specs"].shape[2] % hp.frame_bucket == 0
+
+    hp.batch_size, hp.accumulation_steps = 2, 2
+    tl = TrainLoader(ds, hp)
+    assert tl.n_dropped == 0
+    batches = list(tl.epoch(0))
+    if batches:  # 4 train items / (2*2) = 1 step
+        b = batches[0]
+        assert b["symbols"].shape[:2] == (2, 2)
+    ev = list(EvalLoader(FeatureDataset(hp.validation_files, hp,
+                                        shuffle=False), hp))
+    assert len(ev) >= 1
