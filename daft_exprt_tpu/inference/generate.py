@@ -287,7 +287,7 @@ def generate_mel_specs(engine: InferenceEngine, sentences, file_names,
             nb_samples = (nb_frames - 1) * hp.hop_length + hp.filter_length
             if hp.centered:
                 nb_samples -= 2 * (hp.filter_length // 2)
-            audio_seconds.append(nb_samples / hp.sampling_rate)
+            audio_seconds.append(max(nb_samples, 0) / hp.sampling_rate)
         total_t = sum(batch_times)
         _logger.info(
             f"{len(predictions)} sentences ({sum(audio_seconds):.2f}s) "

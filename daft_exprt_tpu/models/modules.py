@@ -85,7 +85,13 @@ def conv1d_init(rng, in_ch, out_ch, kernel, gain="linear", bias=True):
 
 
 def conv1d_apply(params, x, dtype=jnp.float32):
-    """x: (B, L, in_ch) -> (B, L, out_ch)."""
+    """x: (B, L, in_ch) -> (B, L, out_ch).
+
+    NOTE: no ``preferred_element_type`` here -- the conv transpose rule
+    cannot mix a float32 cotangent with bfloat16 operands (unlike dot).
+    The MXU still accumulates in float32 internally; the output is cast
+    up explicitly so downstream math (bias add, layer norm) is float32.
+    """
     w = params["w"].astype(dtype)
     kernel = w.shape[0]
     pad = (kernel - 1) // 2
@@ -94,8 +100,7 @@ def conv1d_apply(params, x, dtype=jnp.float32):
         window_strides=(1,),
         padding=[(pad, pad)],
         dimension_numbers=("NWC", "WIO", "NWC"),
-        preferred_element_type=jnp.float32,
-    )
+    ).astype(jnp.float32)
     if "b" in params:
         y = y + params["b"]
     return y

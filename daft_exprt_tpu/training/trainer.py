@@ -1,0 +1,244 @@
+"""Training orchestration: the TPU-native replacement for the
+reference's DDP training loop (/root/reference/src/daft_exprt/train.py).
+
+One compiled XLA program per optimizer step (scan-accumulated micro
+batches + data-parallel psum over the mesh), host-side epoch/batch
+bookkeeping, rank-0 logging + TensorBoard, periodic validation with
+best-model tracking, Orbax checkpoints every ``iters_per_checkpoint``,
+and an optional benchmark-synthesis hook at every checkpoint (the
+reference synthesizes its benchmark sentences at each checkpoint,
+train.py:154-190).
+
+SPMD notes: there are no explicit barriers (lockstep compiled steps);
+only host-side checkpoint writes are rank-0-gated. Multi-host: call
+``parallel.mesh.initialize_distributed`` first; the train loader
+shards by ``jax.process_index()``.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from daft_exprt_tpu.data.loader import EvalLoader, FeatureDataset, \
+    TrainLoader
+from daft_exprt_tpu.models.daft_exprt import DaftExprt
+from daft_exprt_tpu.parallel.mesh import make_mesh, replicated, shard_batch
+from daft_exprt_tpu.training.checkpoint import load_checkpoint, \
+    save_checkpoint
+from daft_exprt_tpu.training.logger import TrainingLogger
+from daft_exprt_tpu.training.step import (_batch_to_inputs, make_eval_step,
+                                          make_optimizer, make_train_step)
+
+_logger = logging.getLogger(__name__)
+
+
+class Trainer:
+    def __init__(self, hparams, use_mesh: bool = True,
+                 log_every: int = 10):
+        self.hp = hparams
+        self.log_every = log_every
+        self.mesh = make_mesh(hparams.dp_size) if use_mesh else None
+        self.model = DaftExprt(hparams)
+        self.tx, self.schedule = make_optimizer(hparams)
+        self.train_step = make_train_step(self.model, hparams,
+                                          mesh=self.mesh, donate=True)
+        self.eval_step = make_eval_step(self.model, hparams, mesh=self.mesh)
+        self.is_chief = jax.process_index() == 0
+        self.iteration = 0
+        self.best_val_loss = float("inf")
+
+    # ------------------------------------------------------------------
+    def init_state(self, seed: int | None = None):
+        seed = self.hp.seed if seed is None else seed
+        params = self.model.init_params(jax.random.PRNGKey(seed))
+        opt_state = self.tx.init(params)
+        if self.mesh is not None:
+            rep = replicated(self.mesh)
+            params = jax.device_put(params, rep)
+            opt_state = jax.device_put(opt_state, rep)
+        n = self.model.num_params(params)
+        _logger.info(f"Initialized DaftExprt with {n:,} parameters")
+        return params, opt_state
+
+    def resume(self, ckpt_path: str, params, opt_state):
+        params, restored_opt, meta = load_checkpoint(
+            ckpt_path, params_template=params,
+            opt_state_template=opt_state, hparams=self.hp)
+        if restored_opt is not None:
+            opt_state = restored_opt
+        self.iteration = int(meta["iteration"])
+        self.best_val_loss = float(meta.get("best_val_loss", float("inf")))
+        _logger.info(f"Resumed from {ckpt_path} at iteration "
+                     f"{self.iteration}")
+        return params, opt_state
+
+    # ------------------------------------------------------------------
+    def make_loaders(self):
+        hp = self.hp
+        train_ds = FeatureDataset(hp.training_files, hp)
+        val_ds = FeatureDataset(hp.validation_files, hp, shuffle=False)
+        train_loader = TrainLoader(
+            train_ds, hp, process_index=jax.process_index(),
+            process_count=jax.process_count())
+        if train_loader.n_dropped:
+            _logger.warning(
+                f"{train_loader.n_dropped} utterances exceed the shape "
+                f"caps (max_symbols={hp.max_symbols}, "
+                f"max_frames={hp.max_frames}) and were dropped")
+        return train_loader, EvalLoader(val_ds, hp)
+
+    # ------------------------------------------------------------------
+    def validate(self, params, val_loader):
+        """Average eval-step metrics over the validation set."""
+        totals, count = {}, 0
+        rng = jax.random.PRNGKey(0)
+        for batch in val_loader:
+            batch = {k: v for k, v in batch.items()
+                     if k not in ("feature_dirs", "feature_files")}
+            if self.mesh is not None:
+                dp = self.mesh.devices.size
+                if batch["symbols"].shape[0] % dp != 0:
+                    continue  # remainder batch: skip under SPMD
+                batch = shard_batch(self.mesh, batch, batch_axis=0)
+            metrics = self.eval_step(params, batch, rng)
+            b = int(np.asarray(metrics["loss"]).size) or 1
+            for k, v in metrics.items():
+                totals[k] = totals.get(k, 0.0) + float(np.asarray(v)) * b
+            count += b
+        return {k: v / max(count, 1) for k, v in totals.items()}
+
+    def validation_sample(self, params, val_loader):
+        """One forward pass on one batch for the TensorBoard figures."""
+        for batch in val_loader:
+            clean = {k: v for k, v in batch.items()
+                     if k not in ("feature_dirs", "feature_files")}
+            outputs = self.model.forward(
+                params, _batch_to_inputs(clean), jax.random.PRNGKey(0),
+                train=False)
+            _, film_params, encoder_preds, decoder_preds, weights = outputs
+            return {
+                "film_params": [np.asarray(f) for f in film_params[1:]],
+                "duration_preds": np.asarray(encoder_preds[0])[0],
+                "duration_targets": clean["durations_float"][0],
+                "energy_preds": np.asarray(encoder_preds[1])[0],
+                "energy_targets": clean["symbols_energy"][0],
+                "pitch_preds": np.asarray(encoder_preds[2])[0],
+                "pitch_targets": clean["symbols_pitch"][0],
+                "mel_pred": np.asarray(decoder_preds[0])[0],
+                "mel_target": clean["mel_specs"][0],
+                "weights": np.asarray(weights)[0],
+                "durations_int": clean["durations_int"][0],
+                "input_length": int(clean["input_lengths"][0]),
+                "output_length": int(clean["output_lengths"][0]),
+            }
+        return None
+
+    # ------------------------------------------------------------------
+    def train(self, params=None, opt_state=None, benchmark_hook=None,
+              max_iterations: int | None = None):
+        """Run the training loop until ``nb_iterations``.
+
+        :param benchmark_hook: optional callable(params, iteration,
+            output_dir) invoked at every checkpoint (benchmark-sentence
+            synthesis in the full pipeline).
+        :return: (params, opt_state)
+        """
+        hp = self.hp
+        out_dir = str(hp.output_directory)
+        ckpt_dir = os.path.join(out_dir, "checkpoints")
+        os.makedirs(ckpt_dir, exist_ok=True)
+        logger_tb = TrainingLogger(os.path.join(out_dir, "logs")) \
+            if self.is_chief else None
+
+        if params is None:
+            params, opt_state = self.init_state()
+            if hp.checkpoint:
+                params, opt_state = self.resume(hp.checkpoint, params,
+                                                opt_state)
+        train_loader, val_loader = self.make_loaders()
+        steps_per_epoch = train_loader.batches_per_epoch()
+        assert steps_per_epoch > 0, (
+            "not enough training data for one optimizer step "
+            f"(need batch_size*accumulation_steps*processes examples)")
+        target = min(max_iterations or hp.nb_iterations, hp.nb_iterations)
+        _logger.info(f"Training: {steps_per_epoch} steps/epoch, "
+                     f"target {target} iterations")
+
+        rng = jax.random.PRNGKey(hp.seed)
+        epoch = self.iteration // max(steps_per_epoch, 1)
+        t_iter = time.perf_counter()
+        while self.iteration < target:
+            for batch in train_loader.epoch(epoch):
+                if self.iteration >= target:
+                    break
+                self.iteration += 1
+                rng, step_rng = jax.random.split(rng)
+                if self.mesh is not None:
+                    batch = shard_batch(self.mesh, batch, batch_axis=1)
+                params, opt_state, metrics = self.train_step(
+                    params, opt_state, batch, step_rng,
+                    jnp.asarray(self.iteration, jnp.int32))
+
+                if self.is_chief and \
+                        self.iteration % self.log_every == 0:
+                    metrics = {k: float(np.asarray(v))
+                               for k, v in metrics.items()}
+                    dt = (time.perf_counter() - t_iter) / self.log_every
+                    t_iter = time.perf_counter()
+                    logger_tb.log_training(metrics, self.iteration,
+                                           iter_seconds=dt)
+                    _logger.info(
+                        f"iter {self.iteration}: "
+                        f"loss={metrics['loss']:.4f} "
+                        f"grad_norm={metrics['grad_norm']:.3f} "
+                        f"({dt:.3f}s/it)")
+
+                if self.iteration % hp.iters_check_for_model_improvement \
+                        == 0:
+                    val = self.validate(params, val_loader)
+                    if self.is_chief:
+                        sample = self.validation_sample(params, val_loader)
+                        logger_tb.log_validation(val, self.iteration,
+                                                 sample)
+                        _logger.info(f"validation @ {self.iteration}: "
+                                     f"loss={val.get('loss', 0):.4f}")
+                        if val.get("loss", float("inf")) \
+                                < self.best_val_loss:
+                            self.best_val_loss = val["loss"]
+                            save_checkpoint(
+                                ckpt_dir, self.iteration, params,
+                                opt_state, hp, self.best_val_loss,
+                                name="DaftExprt_best")
+                            _logger.info("new best model saved")
+
+                if self.iteration % hp.iters_per_checkpoint == 0:
+                    if self.is_chief:
+                        path = save_checkpoint(
+                            ckpt_dir, self.iteration, params, opt_state,
+                            hp, self.best_val_loss)
+                        _logger.info(f"checkpoint saved: {path}")
+                        if benchmark_hook is not None:
+                            benchmark_hook(params, self.iteration,
+                                           out_dir)
+            epoch += 1
+
+        if self.is_chief:
+            save_checkpoint(ckpt_dir, self.iteration, params, opt_state,
+                            hp, self.best_val_loss, name="DaftExprt_last")
+            logger_tb.close()
+        return params, opt_state
+
+
+def launch_training(hparams, benchmark_hook=None,
+                    max_iterations: int | None = None):
+    """Seed, build a Trainer and run (reference train.py:497-610)."""
+    np.random.seed(hparams.seed)
+    trainer = Trainer(hparams)
+    return trainer.train(benchmark_hook=benchmark_hook,
+                         max_iterations=max_iterations)

@@ -195,3 +195,47 @@ def test_full_pipeline(corpus):
     ev = list(EvalLoader(FeatureDataset(hp.validation_files, hp,
                                         shuffle=False), hp))
     assert len(ev) >= 1
+
+
+def test_trainer_end_to_end(corpus):
+    """Two optimizer steps + checkpoint + resume on the tiny corpus."""
+    import jax
+    from daft_exprt_tpu.data.stats import extract_features_stats
+    from daft_exprt_tpu.training.checkpoint import load_checkpoint
+    from daft_exprt_tpu.training.trainer import Trainer
+
+    root, hp, dataset_dir, features_dir = corpus
+    if not os.path.isfile(hp.training_files):  # run after pipeline test
+        extract_features(dataset_dir, features_dir, hp, n_jobs=2)
+        create_sets(features_dir, hp, proportion_validation=0.1)
+    if not hp.stats:
+        hp.stats = extract_features_stats(hp, n_jobs=2)
+
+    hp.batch_size = 2
+    hp.accumulation_steps = 1
+    hp.iters_per_checkpoint = 2
+    hp.iters_check_for_model_improvement = 2
+    hp.dp_size = 2  # 2-device data parallel on the virtual CPU mesh
+
+    hooks = []
+    trainer = Trainer(hp, log_every=1)
+    params, opt_state = trainer.train(
+        benchmark_hook=lambda p, it, out: hooks.append(it),
+        max_iterations=2)
+    assert trainer.iteration == 2
+    assert hooks == [2]
+
+    ckpt = os.path.join(str(hp.output_directory), "checkpoints",
+                        "DaftExprt_2")
+    assert os.path.isdir(ckpt)
+    restored, _, meta = load_checkpoint(ckpt, hparams=hp)
+    assert meta["iteration"] == 2
+    a = jax.tree.leaves(params)[0]
+    b = jax.tree.leaves(restored)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+    # resume continues from the checkpoint
+    hp.checkpoint = ckpt
+    trainer2 = Trainer(hp, log_every=1)
+    trainer2.train(max_iterations=3)
+    assert trainer2.iteration == 3

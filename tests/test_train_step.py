@@ -76,6 +76,22 @@ def test_grad_accumulation_equals_big_batch(setup):
     assert np.isfinite(norm) and norm > 0
 
 
+def test_train_step_bfloat16_compute(setup):
+    """The production compute dtype (bf16 matmuls) must have finite
+    grads -- the conv transpose rule can't mix f32 cotangents with bf16
+    operands, so conv1d must not use preferred_element_type."""
+    hp = tiny_hparams(accumulation_steps=1, compute_dtype="bfloat16")
+    model = DaftExprt(hp)
+    params = model.init_params(jax.random.PRNGKey(0))
+    step = make_train_step(model, hp, mesh=None, donate=False)
+    tx, _ = make_optimizer(hp)
+    batch = _stacked_batch(hp, 1, 4)
+    _, _, metrics = step(params, tx.init(params), batch,
+                         jax.random.PRNGKey(1), jnp.asarray(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["grad_norm"]))
+
+
 def test_eval_step(setup):
     hp, model, params = setup
     eval_step = make_eval_step(model, hp, mesh=None)
