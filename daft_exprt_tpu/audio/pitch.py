@@ -21,12 +21,21 @@ costs. The NCCF inner product is computed via FFT cross-correlation
 
 from __future__ import annotations
 
+import os
+import subprocess
+import tempfile
+
 import numpy as np
+from scipy.io import wavfile
 
 # DP cost weights (RAPT-style).
 _FREQ_JUMP_COST = 0.35     # cost per octave jump between voiced frames
 _VUV_TRANSITION_COST = 0.2  # cost of switching voiced <-> unvoiced
 _N_CANDS = 5                # voiced lag candidates per frame
+# RAPT lag weight: local voiced cost = 1 - nccf * (1 - 0.3 * lag /
+# max_lag). Breaks the subharmonic tie of perfectly periodic signals
+# (an octave-down candidate has equal NCCF) in favor of the shorter lag.
+_LAG_WT_FRACTION = 0.3
 
 
 def _frame_starts(n_samples: int, fs: int, frame_interval: float,
@@ -84,6 +93,7 @@ def _viterbi_track(nccf_mat: np.ndarray, min_lag: int, fs: int,
     F, K = nccf_mat.shape
     if F == 0:
         return np.zeros((0,)), np.zeros((0,), bool)
+    max_lag = min_lag + K - 1
 
     # top-N local maxima per frame (greedy top values are a good proxy)
     order = np.argsort(-nccf_mat, axis=1)[:, :_N_CANDS]   # (F, N)
@@ -95,10 +105,12 @@ def _viterbi_track(nccf_mat: np.ndarray, min_lag: int, fs: int,
     cost = np.full((F, n_states), INF)
     back = np.zeros((F, n_states), np.int32)
 
-    # local costs: voiced candidate = 1 - nccf; unvoiced = uv_cost
+    # local costs: voiced candidate = 1 - nccf * lag weight;
+    # unvoiced = uv_cost
     local = np.empty((F, n_states))
     local[:, 0] = uv_cost
-    local[:, 1:] = 1.0 - cand_nccf
+    local[:, 1:] = 1.0 - cand_nccf * (
+        1.0 - _LAG_WT_FRACTION * cand_lag / max_lag)
 
     cost[0] = local[0]
     log_lag = np.log2(np.maximum(cand_lag, 1))
@@ -161,14 +173,68 @@ def sample_synchronous_f0(wav: np.ndarray, fs: int, hparams) -> np.ndarray:
     return track
 
 
-def extract_pitch(wav: np.ndarray, fs: int, hparams) -> np.ndarray:
+def _native_binary() -> str | None:
+    """Path to the compiled C++ tracker, or None if not built."""
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bin", "pitch_tracker")
+    return path if os.path.isfile(path) and os.access(path, os.X_OK) \
+        else None
+
+
+def sample_synchronous_f0_native(wav: np.ndarray, fs: int,
+                                 hparams) -> np.ndarray:
+    """Per-sample int16 F0 via the native C++ tracker subprocess.
+
+    Same CLI contract as the reference's bundled binary
+    (extract_features.py:239-247); same algorithm as the Python
+    implementation above (parity-tested).
+    """
+    binary = _native_binary()
+    assert binary, "native pitch_tracker not built " \
+        "(run make -C native/pitch_tracker)"
+    pcm = np.clip(np.asarray(wav, np.float64) * 32768.0,
+                  -32768, 32767).astype(np.int16)
+    with tempfile.TemporaryDirectory() as tmp:
+        wav_file = os.path.join(tmp, "in.wav")
+        f0_file = os.path.join(tmp, "out.f0")
+        wavfile.write(wav_file, fs, pcm)
+        subprocess.run(
+            [binary, "-i", wav_file, "-a", "-f", f0_file,
+             "-e", str(hparams.f0_interval), "-m", str(hparams.min_f0),
+             "-x", str(hparams.max_f0), "-u", str(hparams.uv_interval),
+             "-w", str(hparams.uv_cost)],
+            check=True, capture_output=True)
+        with open(f0_file, "rb") as f:
+            track = np.frombuffer(f.read(), dtype=np.int16)
+    return track.copy()
+
+
+def extract_pitch(wav: np.ndarray, fs: int, hparams,
+                  use_native: bool | None = None) -> np.ndarray:
     """Per-mel-frame log-F0 with unvoiced frames set to 0.
 
     Framing parity with the reference extract_pitch
     (extract_features.py:222-269): per-sample track -> log (unvoiced
     stays 0) -> ``[::hop_length]`` with the end-of-track edge rule.
+
+    The in-process tracker (FFT-based NCCF) is the default -- it is
+    faster than shelling out to the binary for utterance-length audio.
+    The native binary serves external consumers via the REAPER CLI
+    contract and is parity-tested against this implementation; pass
+    ``use_native=True`` to route through it.
     """
-    track = sample_synchronous_f0(wav, fs, hparams).astype(np.float64)
+    if use_native is None:
+        use_native = False
+    if use_native:
+        # the C++ tracker consumes int16 PCM: quantize identically so
+        # native and python paths see the same signal
+        pcm = np.clip(np.asarray(wav, np.float64) * 32768.0,
+                      -32768, 32767).astype(np.int16)
+        track = sample_synchronous_f0_native(
+            pcm.astype(np.float64) / 32768.0, fs, hparams)
+        track = track.astype(np.float64)
+    else:
+        track = sample_synchronous_f0(wav, fs, hparams).astype(np.float64)
     unvoiced = track <= 0.0
     track[unvoiced] = 1.0
     log_f0 = np.log(track)
