@@ -15,10 +15,18 @@ value / 50.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
-import numpy as np
+
+# persistent compilation cache: first-ever compile through a remote
+# tunnel can take minutes; subsequent bench runs hit this cache.
+os.makedirs("/tmp/daft_exprt_jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/daft_exprt_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+import numpy as np  # noqa: E402
 
 from __graft_entry__ import _flagship_hparams, _synthetic_inference_inputs
 from daft_exprt_tpu.models.daft_exprt import DaftExprt
@@ -44,6 +52,13 @@ def main():
     def infer(params, inputs):
         return model.inference(params, inputs, "add", pitch_means,
                                pitch_stds, max_frames=T)
+
+    # Keep inputs resident on device: the steady-state serving loop
+    # reuses device buffers; re-staging host arrays per call would
+    # measure host->device transfer, not synthesis throughput.
+    device = jax.devices()[0]
+    params = jax.device_put(params, device)
+    inputs = jax.device_put(inputs, device)
 
     # Warmup / compile.
     out = infer(params, inputs)
