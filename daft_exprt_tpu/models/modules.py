@@ -23,6 +23,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from daft_exprt_tpu.ops.attention import flash_self_attention, \
+    use_flash_attention
+
 # ----------------------------------------------------------------------
 # Initializers (torch-compatible semantics)
 # ----------------------------------------------------------------------
@@ -176,26 +179,36 @@ def mha_apply(params, x, key_valid, *, num_heads, attn_dropout, rng,
     k = k.reshape(B, T, H, D).transpose(0, 2, 1, 3)
     v = v.reshape(B, T, H, D).transpose(0, 2, 1, 3)
 
-    scale = 1.0 / np.sqrt(D)
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q.astype(dtype), k.astype(dtype),
-                        preferred_element_type=jnp.float32) * scale
-    neg = jnp.finfo(jnp.float32).min
-    logits = jnp.where(key_valid[:, None, None, :], logits, neg)
-    # NaN-free softmax even for fully-masked query rows (padding queries):
-    # probabilities become uniform garbage there but are zeroed downstream
-    # by the block's output mask, and no NaN ever enters the graph.
-    logits = logits - jax.lax.stop_gradient(
-        jnp.max(logits, axis=-1, keepdims=True))
-    unnorm = jnp.exp(logits)
-    denom = jnp.sum(unnorm, axis=-1, keepdims=True)
-    probs = unnorm / jnp.maximum(denom, 1e-30)
+    if deterministic and use_flash_attention(T):
+        # Fused Pallas kernel: QK^T -> mask -> softmax -> PV in VMEM; the
+        # (B, H, T, T) probability tensor never touches HBM. Forward-only
+        # (inference/eval); the training path below is handled by autodiff.
+        ctx = flash_self_attention(q.astype(dtype), k.astype(dtype),
+                                   v.astype(dtype), key_valid)
+    else:
+        scale = 1.0 / np.sqrt(D)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q.astype(dtype),
+                            k.astype(dtype),
+                            preferred_element_type=jnp.float32) * scale
+        neg = jnp.finfo(jnp.float32).min
+        logits = jnp.where(key_valid[:, None, None, :], logits, neg)
+        # NaN-free softmax even for fully-masked query rows (padding
+        # queries): probabilities become uniform garbage there but are
+        # zeroed downstream by the block's output mask, and no NaN ever
+        # enters the graph.
+        logits = logits - jax.lax.stop_gradient(
+            jnp.max(logits, axis=-1, keepdims=True))
+        unnorm = jnp.exp(logits)
+        denom = jnp.sum(unnorm, axis=-1, keepdims=True)
+        probs = unnorm / jnp.maximum(denom, 1e-30)
 
-    if not deterministic and attn_dropout > 0.0:
-        rng, sub = jax.random.split(rng)
-        probs = dropout(sub, probs, attn_dropout, deterministic)
+        if not deterministic and attn_dropout > 0.0:
+            rng, sub = jax.random.split(rng)
+            probs = dropout(sub, probs, attn_dropout, deterministic)
 
-    ctx = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(dtype),
-                     v.astype(dtype), preferred_element_type=jnp.float32)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(dtype),
+                         v.astype(dtype),
+                         preferred_element_type=jnp.float32)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(B, T, E)
     out = linear_apply({"w": params["out_w"], "b": params["out_b"]}, ctx,
                        dtype)
