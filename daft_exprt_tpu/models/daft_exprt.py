@@ -194,9 +194,18 @@ class DaftExprt:
     def _prenet(self, params, x, rng, deterministic):
         pe = self.pe_cfg
         for i in (1, 2, 3):
-            x = nn.conv1d_apply(params[f"conv{i}"], x, self.dtype)
+            # Chain stays in the compute dtype between layers: the
+            # (B, T, 1024) hidden would otherwise make f32 HBM round
+            # trips that dominate the prenet's wall time (LayerNorm
+            # statistics are still computed in f32). The final LN output
+            # is f32 for the downstream additive combination.
+            last = i == 3
+            x = nn.conv1d_apply(params[f"conv{i}"], x, self.dtype,
+                                out_dtype=self.dtype)
             x = jax.nn.relu(x)
-            x = nn.layer_norm_apply(params[f"ln{i}"], x)
+            x = nn.layer_norm_apply(
+                params[f"ln{i}"], x,
+                out_dtype=jnp.float32 if last else self.dtype)
             rng, sub = jax.random.split(rng)
             x = nn.dropout(sub, x, pe["conv_dropout"], deterministic)
         return x

@@ -23,8 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from daft_exprt_tpu.ops.attention import flash_self_attention, \
-    use_flash_attention
+from daft_exprt_tpu.ops.conv_ff import fused_conv_ff, use_fused_conv_ff
+from daft_exprt_tpu.ops.fused_mha import fused_mha_block, use_fused_mha
 
 # ----------------------------------------------------------------------
 # Initializers (torch-compatible semantics)
@@ -87,13 +87,15 @@ def conv1d_init(rng, in_ch, out_ch, kernel, gain="linear", bias=True):
     return params
 
 
-def conv1d_apply(params, x, dtype=jnp.float32):
+def conv1d_apply(params, x, dtype=jnp.float32, out_dtype=jnp.float32):
     """x: (B, L, in_ch) -> (B, L, out_ch).
 
     NOTE: no ``preferred_element_type`` here -- the conv transpose rule
     cannot mix a float32 cotangent with bfloat16 operands (unlike dot).
     The MXU still accumulates in float32 internally; the output is cast
     up explicitly so downstream math (bias add, layer norm) is float32.
+    ``out_dtype`` lets bandwidth-bound inference chains stay in bf16
+    (the bias add still happens in f32 before the downcast).
     """
     w = params["w"].astype(dtype)
     kernel = w.shape[0]
@@ -106,7 +108,7 @@ def conv1d_apply(params, x, dtype=jnp.float32):
     ).astype(jnp.float32)
     if "b" in params:
         y = y + params["b"]
-    return y
+    return y.astype(out_dtype)
 
 
 # ----------------------------------------------------------------------
@@ -117,12 +119,13 @@ def layer_norm_init(dim):
             "bias": jnp.zeros((dim,), jnp.float32)}
 
 
-def layer_norm_apply(params, x, eps: float = 1e-5):
+def layer_norm_apply(params, x, eps: float = 1e-5,
+                     out_dtype=jnp.float32):
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
     y = (x32 - mean) * jax.lax.rsqrt(var + eps)
-    return y * params["scale"] + params["bias"]
+    return (y * params["scale"] + params["bias"]).astype(out_dtype)
 
 
 # ----------------------------------------------------------------------
@@ -171,6 +174,16 @@ def mha_apply(params, x, key_valid, *, num_heads, attn_dropout, rng,
     H = num_heads
     D = E // H
 
+    if deterministic and use_fused_mha(T, E, H):
+        # Fully-fused Pallas kernel: QKV projections, per-head softmax
+        # attention, head merge, output projection, residual and post-LN
+        # in ONE kernel. Narrow heads (D as small as 16) are lane-padded
+        # 8x by TPU tiling whenever they touch HBM, so keeping all
+        # head-split values VMEM-resident beats any staged formulation.
+        # Forward-only (inference/eval); training uses the path below.
+        return fused_mha_block(x, params, key_valid, num_heads=H,
+                               dot_dtype=dtype)
+
     q = linear_apply({"w": params["q_w"], "b": params["q_b"]}, x, dtype)
     k = linear_apply({"w": params["k_w"], "b": params["k_b"]}, x, dtype)
     v = linear_apply({"w": params["v_w"], "b": params["v_b"]}, x, dtype)
@@ -179,36 +192,26 @@ def mha_apply(params, x, key_valid, *, num_heads, attn_dropout, rng,
     k = k.reshape(B, T, H, D).transpose(0, 2, 1, 3)
     v = v.reshape(B, T, H, D).transpose(0, 2, 1, 3)
 
-    if deterministic and use_flash_attention(T):
-        # Fused Pallas kernel: QK^T -> mask -> softmax -> PV in VMEM; the
-        # (B, H, T, T) probability tensor never touches HBM. Forward-only
-        # (inference/eval); the training path below is handled by autodiff.
-        ctx = flash_self_attention(q.astype(dtype), k.astype(dtype),
-                                   v.astype(dtype), key_valid)
-    else:
-        scale = 1.0 / np.sqrt(D)
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q.astype(dtype),
-                            k.astype(dtype),
-                            preferred_element_type=jnp.float32) * scale
-        neg = jnp.finfo(jnp.float32).min
-        logits = jnp.where(key_valid[:, None, None, :], logits, neg)
-        # NaN-free softmax even for fully-masked query rows (padding
-        # queries): probabilities become uniform garbage there but are
-        # zeroed downstream by the block's output mask, and no NaN ever
-        # enters the graph.
-        logits = logits - jax.lax.stop_gradient(
-            jnp.max(logits, axis=-1, keepdims=True))
-        unnorm = jnp.exp(logits)
-        denom = jnp.sum(unnorm, axis=-1, keepdims=True)
-        probs = unnorm / jnp.maximum(denom, 1e-30)
+    scale = 1.0 / np.sqrt(D)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q.astype(dtype), k.astype(dtype),
+                        preferred_element_type=jnp.float32) * scale
+    neg = jnp.finfo(jnp.float32).min
+    logits = jnp.where(key_valid[:, None, None, :], logits, neg)
+    # NaN-free softmax even for fully-masked query rows (padding queries):
+    # probabilities become uniform garbage there but are zeroed downstream
+    # by the block's output mask, and no NaN ever enters the graph.
+    logits = logits - jax.lax.stop_gradient(
+        jnp.max(logits, axis=-1, keepdims=True))
+    unnorm = jnp.exp(logits)
+    denom = jnp.sum(unnorm, axis=-1, keepdims=True)
+    probs = unnorm / jnp.maximum(denom, 1e-30)
 
-        if not deterministic and attn_dropout > 0.0:
-            rng, sub = jax.random.split(rng)
-            probs = dropout(sub, probs, attn_dropout, deterministic)
+    if not deterministic and attn_dropout > 0.0:
+        rng, sub = jax.random.split(rng)
+        probs = dropout(sub, probs, attn_dropout, deterministic)
 
-        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(dtype),
-                         v.astype(dtype),
-                         preferred_element_type=jnp.float32)
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(dtype),
+                     v.astype(dtype), preferred_element_type=jnp.float32)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(B, T, E)
     out = linear_apply({"w": params["out_w"], "b": params["out_b"]}, ctx,
                        dtype)
@@ -237,6 +240,13 @@ def conv_ff_apply(params, x, film_params, *, conv_dropout, rng,
 
     :param film_params: (B, 2 * E) -- [gammas | betas] -- or None
     """
+    T, E = x.shape[1], x.shape[2]
+    kernel, C = params["conv1"]["w"].shape[0], params["conv1"]["w"].shape[2]
+    if deterministic and use_fused_conv_ff(T, kernel, E, C):
+        # Fused Pallas kernel: both k=3 convs as shifted matmuls with the
+        # (T, C) hidden kept in VMEM, + residual + LayerNorm + FiLM in one
+        # pass. Forward-only; the training path below is autodiff-friendly.
+        return fused_conv_ff(x, params, film_params, dot_dtype=dtype)
     h = conv1d_apply(params["conv1"], x, dtype)
     h = jax.nn.relu(h)
     h = conv1d_apply(params["conv2"], h, dtype)
