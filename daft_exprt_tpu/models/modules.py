@@ -23,8 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from daft_exprt_tpu.ops.conv_ff import fused_conv_ff, use_fused_conv_ff
-from daft_exprt_tpu.ops.fused_mha import fused_mha_block, use_fused_mha
+from daft_exprt_tpu.ops.fft_block import fused_fft_block, \
+    use_fused_fft_block
 
 # ----------------------------------------------------------------------
 # Initializers (torch-compatible semantics)
@@ -174,16 +174,6 @@ def mha_apply(params, x, key_valid, *, num_heads, attn_dropout, rng,
     H = num_heads
     D = E // H
 
-    if deterministic and use_fused_mha(T, E, H):
-        # Fully-fused Pallas kernel: QKV projections, per-head softmax
-        # attention, head merge, output projection, residual and post-LN
-        # in ONE kernel. Narrow heads (D as small as 16) are lane-padded
-        # 8x by TPU tiling whenever they touch HBM, so keeping all
-        # head-split values VMEM-resident beats any staged formulation.
-        # Forward-only (inference/eval); training uses the path below.
-        return fused_mha_block(x, params, key_valid, num_heads=H,
-                               dot_dtype=dtype)
-
     q = linear_apply({"w": params["q_w"], "b": params["q_b"]}, x, dtype)
     k = linear_apply({"w": params["k_w"], "b": params["k_b"]}, x, dtype)
     v = linear_apply({"w": params["v_w"], "b": params["v_b"]}, x, dtype)
@@ -240,13 +230,6 @@ def conv_ff_apply(params, x, film_params, *, conv_dropout, rng,
 
     :param film_params: (B, 2 * E) -- [gammas | betas] -- or None
     """
-    T, E = x.shape[1], x.shape[2]
-    kernel, C = params["conv1"]["w"].shape[0], params["conv1"]["w"].shape[2]
-    if deterministic and use_fused_conv_ff(T, kernel, E, C):
-        # Fused Pallas kernel: both k=3 convs as shifted matmuls with the
-        # (T, C) hidden kept in VMEM, + residual + LayerNorm + FiLM in one
-        # pass. Forward-only; the training path below is autodiff-friendly.
-        return fused_conv_ff(x, params, film_params, dot_dtype=dtype)
     h = conv1d_apply(params["conv1"], x, dtype)
     h = jax.nn.relu(h)
     h = conv1d_apply(params["conv2"], h, dtype)
@@ -277,6 +260,19 @@ def fft_block_apply(params, x, film_params, valid_mask, *, num_heads,
                     attn_dropout, conv_dropout, rng, deterministic,
                     dtype=jnp.float32):
     """:param valid_mask: (B, T) bool, True for real positions."""
+    T, E = x.shape[1], x.shape[2]
+    kernel = params["ff"]["conv1"]["w"].shape[0]
+    C = params["ff"]["conv1"]["w"].shape[2]
+    if deterministic and use_fused_fft_block(T, E, C, num_heads, kernel):
+        # Whole block in ONE Pallas kernel: QKV projections, per-head
+        # masked softmax attention, output projection, residual+LN, row
+        # mask, both k=3 convs (shifted matmuls, hidden VMEM-resident),
+        # residual+LN, FiLM, final mask. Narrow heads (D down to 16) are
+        # lane-padded 8x whenever head-split tensors touch HBM, and the
+        # (T, C) conv hidden would make HBM round trips -- fusing keeps
+        # everything in VMEM. Forward-only; training uses the path below.
+        return fused_fft_block(x, params, film_params, valid_mask,
+                               num_heads=num_heads, dot_dtype=dtype)
     r1, r2 = jax.random.split(rng)
     attn = mha_apply(params["attn"], x, valid_mask, num_heads=num_heads,
                      attn_dropout=attn_dropout, rng=r1,
