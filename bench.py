@@ -34,6 +34,86 @@ from daft_exprt_tpu.models.daft_exprt import DaftExprt
 NORTH_STAR_RTF = 50.0
 
 
+def _p50_utterance_latency_ms(model, hp, params):
+    """Single-utterance (B=1) inference latency, median of 50 calls."""
+    import jax.numpy as jnp
+
+    B, L, T = 1, 64, 512
+    inputs = _synthetic_inference_inputs(hp, B, L, T, seed=1)
+    pitch_means = jnp.full((hp.n_speakers,), 5.0, jnp.float32)
+    pitch_stds = jnp.full((hp.n_speakers,), 0.3, jnp.float32)
+
+    @jax.jit
+    def infer(params, inputs):
+        return model.inference(params, inputs, "add", pitch_means,
+                               pitch_stds, max_frames=T)
+
+    inputs = jax.device_put(inputs, jax.devices()[0])
+    out = infer(params, inputs)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(50):
+        t0 = time.perf_counter()
+        out = infer(params, inputs)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times) * 1e3)
+
+
+def _train_steps_per_sec(hp):
+    """Full train step (grad accum 3 x batch 16, dropout, Adam) rate."""
+    import jax.numpy as jnp
+
+    from daft_exprt_tpu.training.step import make_optimizer, make_train_step
+
+    model = DaftExprt(hp)
+    params = model.init_params(jax.random.PRNGKey(0))
+    tx, _ = make_optimizer(hp)
+    opt_state = tx.init(params)
+    step = make_train_step(model, hp, mesh=None, donate=True)
+
+    accum, B, L, T = hp.accumulation_steps, hp.batch_size, 128, 768
+    rng = np.random.default_rng(0)
+    frame_dur = hp.hop_length / hp.sampling_rate
+    durs = np.full((accum, B, L), T // L, np.int32)
+    batch = {
+        "symbols": rng.integers(1, hp.n_symbols,
+                                size=(accum, B, L)).astype(np.int32),
+        "input_lengths": np.full((accum, B), L, np.int32),
+        "output_lengths": np.full((accum, B), T, np.int32),
+        "speaker_ids": rng.integers(0, len(hp.speakers),
+                                    size=(accum, B)).astype(np.int32),
+        "frames_energy": np.abs(rng.standard_normal(
+            (accum, B, T))).astype(np.float32),
+        "frames_pitch": rng.standard_normal(
+            (accum, B, T)).astype(np.float32),
+        "mel_specs": rng.standard_normal(
+            (accum, B, hp.n_mel_channels, T)).astype(np.float32),
+        "symbols_energy": rng.standard_normal(
+            (accum, B, L)).astype(np.float32),
+        "symbols_pitch": rng.standard_normal(
+            (accum, B, L)).astype(np.float32),
+        "durations_int": durs,
+        "durations_float": (durs * frame_dur).astype(np.float32),
+    }
+    batch = jax.device_put(batch, jax.devices()[0])
+    rng_key = jax.random.PRNGKey(0)
+    it = jnp.asarray(1, jnp.int32)
+    # Warm up past compile AND the one-time post-compile buffer
+    # re-layout the first donated steps pay.
+    for _ in range(4):
+        params, opt_state, metrics = step(params, opt_state, batch,
+                                          rng_key, it)
+    jax.block_until_ready(metrics)
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, opt_state, metrics = step(params, opt_state, batch,
+                                          rng_key, it)
+    jax.block_until_ready(metrics)
+    return iters / (time.perf_counter() - t0)
+
+
 def main():
     import jax.numpy as jnp
 
@@ -78,6 +158,9 @@ def main():
     audio_sec = frames * hp.hop_length / hp.sampling_rate
     rtf = audio_sec / wall
 
+    p50_ms = _p50_utterance_latency_ms(model, hp, params)
+    steps_per_sec = _train_steps_per_sec(hp)
+
     print(json.dumps({
         "metric": "batched_mel_synthesis_rtf",
         "value": round(rtf, 2),
@@ -85,6 +168,8 @@ def main():
         "vs_baseline": round(rtf / NORTH_STAR_RTF, 3),
         "detail": {
             "mel_frames_per_sec_per_chip": round(frames_per_sec, 1),
+            "p50_utterance_latency_ms": round(p50_ms, 3),
+            "train_steps_per_sec": round(steps_per_sec, 3),
             "batch": B, "max_symbols": L, "max_frames": T,
             "iters": iters, "wall_s": round(wall, 3),
             "device": str(jax.devices()[0]),
