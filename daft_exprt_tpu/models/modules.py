@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from daft_exprt_tpu.ops.attention_train import attention_core, \
+    use_train_attention
 from daft_exprt_tpu.ops.fft_block import fused_fft_block, \
     use_fused_fft_block
 
@@ -88,24 +90,41 @@ def conv1d_init(rng, in_ch, out_ch, kernel, gain="linear", bias=True):
 
 
 def conv1d_apply(params, x, dtype=jnp.float32, out_dtype=jnp.float32):
-    """x: (B, L, in_ch) -> (B, L, out_ch).
+    """x: (B, L, in_ch) -> (B, L, out_ch), SAME zero padding, stride 1.
 
-    NOTE: no ``preferred_element_type`` here -- the conv transpose rule
-    cannot mix a float32 cotangent with bfloat16 operands (unlike dot).
-    The MXU still accumulates in float32 internally; the output is cast
-    up explicitly so downstream math (bias add, layer norm) is float32.
+    Odd kernels are computed as k shifted matmuls (``sum_d shift_d(x) @
+    w[d]``) instead of ``lax.conv_general_dilated``: XLA's conv1d
+    forward AND its transposed-conv gradients lower poorly on TPU
+    (profiled at ~55% of the whole train step), while the shifted-dot
+    formulation differentiates into plain dots that tile straight onto
+    the MXU with f32 accumulation. Even kernels (unused by default
+    configs) keep the general conv path.
+
     ``out_dtype`` lets bandwidth-bound inference chains stay in bf16
     (the bias add still happens in f32 before the downcast).
     """
     w = params["w"].astype(dtype)
     kernel = w.shape[0]
     pad = (kernel - 1) // 2
-    y = jax.lax.conv_general_dilated(
-        x.astype(dtype), w,
-        window_strides=(1,),
-        padding=[(pad, pad)],
-        dimension_numbers=("NWC", "WIO", "NWC"),
-    ).astype(jnp.float32)
+    xc = x.astype(dtype)
+    if kernel % 2 == 1:
+        B, L, _ = x.shape
+        padded = jnp.pad(xc, ((0, 0), (pad, pad), (0, 0)))
+        y = None
+        for d in range(kernel):
+            term = jnp.einsum("blc,co->blo", padded[:, d:d + L], w[d],
+                              preferred_element_type=jnp.float32)
+            y = term if y is None else y + term
+    else:
+        # NOTE: no ``preferred_element_type`` here -- the conv transpose
+        # rule cannot mix a float32 cotangent with bfloat16 operands
+        # (unlike dot). The MXU still accumulates in float32 internally.
+        y = jax.lax.conv_general_dilated(
+            xc, w,
+            window_strides=(1,),
+            padding=[(pad, pad)],
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        ).astype(jnp.float32)
     if "b" in params:
         y = y + params["b"]
     return y.astype(out_dtype)
@@ -177,6 +196,29 @@ def mha_apply(params, x, key_valid, *, num_heads, attn_dropout, rng,
     q = linear_apply({"w": params["q_w"], "b": params["q_b"]}, x, dtype)
     k = linear_apply({"w": params["k_w"], "b": params["k_b"]}, x, dtype)
     v = linear_apply({"w": params["v_w"], "b": params["v_b"]}, x, dtype)
+
+    if use_train_attention(T, E, H):
+        # Training path on TPU: flash-style custom-VJP Pallas attention
+        # (recompute backward, in-kernel prob dropout). XLA's autodiff of
+        # softmax attention materializes (B, H, T, T) tensors in both
+        # directions -- profiled at more than half the train step.
+        rate = float(attn_dropout) if not deterministic else 0.0
+        lengths = jnp.sum(key_valid.astype(jnp.int32), axis=-1)
+        if rate > 0.0:
+            rng, sub = jax.random.split(rng)
+            seeds = jax.lax.bitcast_convert_type(
+                jax.random.bits(sub, (B,), jnp.uint32), jnp.int32)
+        else:
+            seeds = jnp.zeros((B,), jnp.int32)
+        ctx = attention_core(q.astype(dtype), k.astype(dtype),
+                             v.astype(dtype), lengths, seeds, H, rate,
+                             dtype)
+        out = linear_apply({"w": params["out_w"], "b": params["out_b"]},
+                           ctx, dtype)
+        if not deterministic and attn_dropout > 0.0:
+            rng, sub = jax.random.split(rng)
+            out = dropout(sub, out, attn_dropout, deterministic)
+        return layer_norm_apply(params["ln"], out + x)
 
     q = q.reshape(B, T, H, D).transpose(0, 2, 1, 3)  # (B, H, T, D)
     k = k.reshape(B, T, H, D).transpose(0, 2, 1, 3)
