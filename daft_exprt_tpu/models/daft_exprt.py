@@ -201,7 +201,8 @@ class DaftExprt:
             # is f32 for the downstream additive combination.
             last = i == 3
             x = nn.conv1d_apply(params[f"conv{i}"], x, self.dtype,
-                                out_dtype=self.dtype)
+                                out_dtype=self.dtype,
+                                matmul_form=not deterministic)
             x = jax.nn.relu(x)
             x = nn.layer_norm_apply(
                 params[f"ln{i}"], x,
@@ -222,9 +223,11 @@ class DaftExprt:
         pos = self._pos_table[:T]
 
         energy = nn.conv1d_apply(params["energy_embedding"],
-                                 frames_energy[..., None], self.dtype)
+                                 frames_energy[..., None], self.dtype,
+                                 matmul_form=not deterministic)
         pitch = nn.conv1d_apply(params["pitch_embedding"],
-                                frames_pitch[..., None], self.dtype)
+                                frames_pitch[..., None], self.dtype,
+                                matmul_form=not deterministic)
         rng, sub = jax.random.split(rng)
         x = self._prenet(params["prenet"], jnp.swapaxes(mel_specs, 1, 2),
                          sub, deterministic)
@@ -301,7 +304,8 @@ class DaftExprt:
         L = x.shape[1]
         for idx, block in enumerate(params["blocks"]):
             for j in (1, 2):
-                x = nn.conv1d_apply(block[f"conv{j}"], x, self.dtype)
+                x = nn.conv1d_apply(block[f"conv{j}"], x, self.dtype,
+                                    matmul_form=not deterministic)
                 x = jax.nn.relu(x)
                 x = nn.layer_norm_apply(block[f"ln{j}"], x)
                 rng, sub = jax.random.split(rng)

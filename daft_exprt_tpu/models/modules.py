@@ -89,17 +89,21 @@ def conv1d_init(rng, in_ch, out_ch, kernel, gain="linear", bias=True):
     return params
 
 
-def conv1d_apply(params, x, dtype=jnp.float32, out_dtype=jnp.float32):
+def conv1d_apply(params, x, dtype=jnp.float32, out_dtype=jnp.float32,
+                 matmul_form=False):
     """x: (B, L, in_ch) -> (B, L, out_ch), SAME zero padding, stride 1.
 
-    Odd kernels are computed as k shifted matmuls (``sum_d shift_d(x) @
-    w[d]``) instead of ``lax.conv_general_dilated``: XLA's conv1d
-    forward AND its transposed-conv gradients lower poorly on TPU
-    (profiled at ~55% of the whole train step), while the shifted-dot
-    formulation differentiates into plain dots that tile straight onto
-    the MXU with f32 accumulation. Even kernels (unused by default
-    configs) keep the general conv path.
+    Two formulations, picked by ``matmul_form``:
 
+    - False (inference/eval): ``lax.conv_general_dilated`` -- XLA's
+      fused conv FORWARD is the fastest single pass on TPU.
+    - True (training): k shifted matmuls (``sum_d shift_d(x) @ w[d]``)
+      -- XLA's transposed-conv GRADIENTS lower poorly on TPU (profiled
+      as a major train-step cost), while the shifted-dot formulation
+      differentiates into plain dots that tile straight onto the MXU
+      with f32 accumulation. Call sites pass ``not deterministic``.
+
+    Even kernels (unused by default configs) always take the conv path.
     ``out_dtype`` lets bandwidth-bound inference chains stay in bf16
     (the bias add still happens in f32 before the downcast).
     """
@@ -107,7 +111,7 @@ def conv1d_apply(params, x, dtype=jnp.float32, out_dtype=jnp.float32):
     kernel = w.shape[0]
     pad = (kernel - 1) // 2
     xc = x.astype(dtype)
-    if kernel % 2 == 1:
+    if matmul_form and kernel % 2 == 1:
         B, L, _ = x.shape
         padded = jnp.pad(xc, ((0, 0), (pad, pad), (0, 0)))
         y = None
@@ -272,9 +276,11 @@ def conv_ff_apply(params, x, film_params, *, conv_dropout, rng,
 
     :param film_params: (B, 2 * E) -- [gammas | betas] -- or None
     """
-    h = conv1d_apply(params["conv1"], x, dtype)
+    h = conv1d_apply(params["conv1"], x, dtype,
+                     matmul_form=not deterministic)
     h = jax.nn.relu(h)
-    h = conv1d_apply(params["conv2"], h, dtype)
+    h = conv1d_apply(params["conv2"], h, dtype,
+                     matmul_form=not deterministic)
     if not deterministic and conv_dropout > 0.0:
         rng, sub = jax.random.split(rng)
         h = dropout(sub, h, conv_dropout, deterministic)
