@@ -40,9 +40,19 @@ _logger = logging.getLogger(__name__)
 
 class Trainer:
     def __init__(self, hparams, use_mesh: bool = True,
-                 log_every: int = 10):
+                 log_every: int = 10, profile_steps: int = 0,
+                 profile_start: int = 10):
+        """:param profile_steps: if > 0, capture a JAX profiler trace of
+            ``profile_steps`` optimizer steps starting at iteration
+            ``profile_start`` into ``<output_dir>/logs/profile`` (open
+            with TensorBoard's profile plugin / Perfetto). The reference
+            has no profiler; wall-clock per-iteration timing is logged
+            either way (train.py:413-420 parity)."""
         self.hp = hparams
         self.log_every = log_every
+        self.profile_steps = profile_steps
+        self.profile_start = profile_start
+        self._profiling = False
         self.mesh = make_mesh(hparams.dp_size) if use_mesh else None
         self.model = DaftExprt(hparams)
         self.tx, self.schedule = make_optimizer(hparams)
@@ -178,6 +188,17 @@ class Trainer:
                 if self.iteration >= target:
                     break
                 self.iteration += 1
+                if self.profile_steps > 0 and self.is_chief:
+                    if self.iteration == self.profile_start:
+                        jax.profiler.start_trace(
+                            os.path.join(out_dir, "logs", "profile"))
+                        self._profiling = True
+                    elif self._profiling and self.iteration \
+                            >= self.profile_start + self.profile_steps:
+                        jax.profiler.stop_trace()
+                        self._profiling = False
+                        _logger.info("profiler trace written to "
+                                     f"{out_dir}/logs/profile")
                 rng, step_rng = jax.random.split(rng)
                 if self.mesh is not None:
                     batch = shard_batch(self.mesh, batch, batch_axis=1)
@@ -236,9 +257,10 @@ class Trainer:
 
 
 def launch_training(hparams, benchmark_hook=None,
-                    max_iterations: int | None = None):
+                    max_iterations: int | None = None,
+                    profile_steps: int = 0):
     """Seed, build a Trainer and run (reference train.py:497-610)."""
     np.random.seed(hparams.seed)
-    trainer = Trainer(hparams)
+    trainer = Trainer(hparams, profile_steps=profile_steps)
     return trainer.train(benchmark_hook=benchmark_hook,
                          max_iterations=max_iterations)

@@ -137,7 +137,8 @@ def train(args):
 
     from daft_exprt_tpu.training.trainer import launch_training
     launch_training(hparams, benchmark_hook=benchmark_hook,
-                    max_iterations=args.max_iterations)
+                    max_iterations=args.max_iterations,
+                    profile_steps=args.profile)
 
 
 def fine_tune(args):
@@ -187,6 +188,9 @@ def main():
                    help="multi-host coordinator address host:port")
     p.add_argument("--num_processes", type=int, default=None)
     p.add_argument("--process_id", type=int, default=None)
+    p.add_argument("--profile", type=int, default=0,
+                   help="capture a JAX profiler trace of N optimizer "
+                        "steps into <experiment>/logs/profile")
     p.set_defaults(func=train)
 
     p = sub.add_parser("fine_tune", parents=[common])
