@@ -17,6 +17,8 @@ import os
 import random
 import sys
 
+import numpy as np
+
 FILE_ROOT = os.path.dirname(os.path.realpath(__file__))
 PROJECT_ROOT = os.path.dirname(FILE_ROOT)
 sys.path.insert(0, PROJECT_ROOT)
@@ -100,11 +102,28 @@ def synthesize(args):
         args.output_dir, hparams, dur_factors=dur_factors,
         energy_factors=energy_factors, pitch_factors=pitch_factors,
         batch_size=args.batch_size, n_jobs=n_jobs,
-        use_griffin_lim=not args.no_griffin_lim,
+        use_griffin_lim=not args.no_griffin_lim and not args.vocoder,
         get_time_perf=args.real_time_factor)
     rtf = predictions.pop("__rtf__", None)
     if rtf is not None:
         print(f"DaftExprt RTF: {rtf:.2f}")
+
+    if args.vocoder:
+        # TPU-native HiFi-GAN: mel -> waveform on the same chip (the
+        # reference requires an external PyTorch vocoder stack).
+        from daft_exprt_tpu.audio.io import save_wav
+        from daft_exprt_tpu.vocoder.hifigan import (load_torch_generator,
+                                                    vocode_mels)
+        gen, vparams = load_torch_generator(args.vocoder,
+                                            args.vocoder_config)
+        names = list(predictions.keys())
+        mels = [np.asarray(predictions[n][4]) for n in names]
+        wavs = vocode_mels(gen, vparams, mels,
+                           bucket=hparams.frame_bucket)
+        for name, wav in zip(names, wavs):
+            save_wav(os.path.join(args.output_dir, f"{name}.wav"), wav,
+                     hparams.sampling_rate)
+        _logger.info(f"vocoded {len(wavs)} utterances with HiFi-GAN")
 
     # pair generated outputs with their style references for evaluation
     pairs_file = os.path.join(args.output_dir, "ref_generated_pairs.txt")
@@ -135,6 +154,12 @@ def main():
     parser.add_argument("--control", action="store_true",
                         help="demo prosody control: dur x1.25, +50 Hz")
     parser.add_argument("--no_griffin_lim", action="store_true")
+    parser.add_argument("--vocoder", default="",
+                        help="PyTorch HiFi-GAN generator checkpoint; "
+                             "wavs are vocoded on-device instead of "
+                             "Griffin-Lim")
+    parser.add_argument("--vocoder_config", default=None,
+                        help="HiFi-GAN config.json (defaults to v1)")
     args = parser.parse_args()
     synthesize(args)
 
