@@ -239,3 +239,46 @@ def test_trainer_end_to_end(corpus):
     trainer2 = Trainer(hp, log_every=1)
     trainer2.train(max_iterations=3)
     assert trainer2.iteration == 3
+
+
+def test_fine_tuning_dataset(corpus):
+    """Teacher-forced vocoder dataset: mel .npy + trimmed GT wav per
+    utterance, predicted mel shape == GT mel shape (reference
+    fine_tune.py:102-104 invariant)."""
+    import jax
+    from daft_exprt_tpu.data.stats import extract_features_stats
+    from daft_exprt_tpu.inference.fine_tune import fine_tuning_dataset
+    from daft_exprt_tpu.models.daft_exprt import DaftExprt
+
+    root, hp, dataset_dir, features_dir = corpus
+    if not os.path.isfile(hp.training_files):  # run after pipeline test
+        for spk in hp.speakers:
+            extract_markers(os.path.join(dataset_dir, spk, "align"),
+                            n_jobs=2)
+        extract_features(dataset_dir, features_dir, hp, n_jobs=2)
+        create_sets(features_dir, hp, proportion_validation=0.1)
+    if not hp.stats:
+        hp.stats = extract_features_stats(hp, n_jobs=2)
+
+    model = DaftExprt(hp)
+    params = model.init_params(jax.random.PRNGKey(0))
+    out_dir = os.path.join(root, "fine_tuning_dataset")
+    fine_tuning_dataset(model, params, hp, dataset_dir, out_dir,
+                        batch_size=2)
+
+    with open(hp.training_files) as f:
+        n_train = sum(1 for line in f if line.strip())
+    produced = []
+    for spk in hp.speakers:
+        d = os.path.join(out_dir, spk)
+        if not os.path.isdir(d):
+            continue
+        for x in os.listdir(d):
+            if x.endswith(".npy"):
+                base = x[:-4]
+                assert os.path.isfile(os.path.join(d, base + ".wav"))
+                mel = np.load(os.path.join(d, x))
+                gt = np.load(os.path.join(features_dir, spk, x))
+                assert mel.shape == gt.shape
+                produced.append(base)
+    assert len(produced) == n_train, (len(produced), n_train)
