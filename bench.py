@@ -97,7 +97,7 @@ def _train_steps_per_sec(hp):
         "durations_float": (durs * frame_dur).astype(np.float32),
     }
     batch = jax.device_put(batch, jax.devices()[0])
-    rng_key = jax.random.PRNGKey(0)
+    rng_key = jax.random.key(0, impl=getattr(hp, "dropout_prng", "rbg"))
     it = jnp.asarray(1, jnp.int32)
     # Warm up past compile AND the one-time post-compile buffer
     # re-layout the first donated steps pay.

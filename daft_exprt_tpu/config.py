@@ -67,6 +67,11 @@ class HyperParams:
 
         # -------- training --------
         self.seed = 1234
+        # PRNG implementation for training dropout keys: "rbg" generates
+        # mask bits ~10x cheaper than "threefry2x32" on TPU (measured
+        # 17% faster train steps); parameter INIT always uses threefry
+        # so initialization stays implementation-independent.
+        self.dropout_prng = "rbg"
         self.nb_iterations = 370000
         self.iters_per_checkpoint = 10000
         self.iters_check_for_model_improvement = 5000

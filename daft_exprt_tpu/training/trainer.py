@@ -180,7 +180,8 @@ class Trainer:
         _logger.info(f"Training: {steps_per_epoch} steps/epoch, "
                      f"target {target} iterations")
 
-        rng = jax.random.PRNGKey(hp.seed)
+        rng = jax.random.key(hp.seed,
+                             impl=getattr(hp, "dropout_prng", "rbg"))
         epoch = self.iteration // max(steps_per_epoch, 1)
         t_iter = time.perf_counter()
         while self.iteration < target:

@@ -206,6 +206,9 @@ def test_trainer_end_to_end(corpus):
 
     root, hp, dataset_dir, features_dir = corpus
     if not os.path.isfile(hp.training_files):  # run after pipeline test
+        for spk in hp.speakers:
+            extract_markers(os.path.join(dataset_dir, spk, "align"),
+                            n_jobs=2)
         extract_features(dataset_dir, features_dir, hp, n_jobs=2)
         create_sets(features_dir, hp, proportion_validation=0.1)
     if not hp.stats:
