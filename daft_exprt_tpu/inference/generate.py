@@ -157,14 +157,26 @@ def collate_inference_batch(batch_sentences, batch_dur_factors,
 # Jitted inference with per-bucket executable caching
 # ----------------------------------------------------------------------
 class InferenceEngine:
-    """Holds the model + params and a cache of per-bucket executables."""
+    """Holds the model + params and a cache of per-bucket executables.
 
-    def __init__(self, model, params, hparams, max_out_frames=None):
+    With ``mesh`` (a 1-D 'data' mesh from parallel.mesh.make_mesh),
+    batches are sharded over the mesh's devices and the forward runs
+    SPMD -- multi-chip batched serving with the same API. Batch rows
+    must then be a multiple of the mesh size (generate_mel_specs pads
+    batches to ``batch_size``, so pick batch_size accordingly).
+    """
+
+    def __init__(self, model, params, hparams, max_out_frames=None,
+                 mesh=None):
         self.model = model
-        self.params = params
         self.hp = hparams
         self.max_out_frames = max_out_frames or hparams.max_frames
         self.pitch_means, self.pitch_stds = pitch_stats_arrays(hparams)
+        self.mesh = mesh
+        if mesh is not None:
+            from daft_exprt_tpu.parallel.mesh import replicated
+            params = jax.device_put(params, replicated(mesh))
+        self.params = params
         self._compiled = {}
 
     def _fn(self, pitch_transform: str):
@@ -173,12 +185,33 @@ class InferenceEngine:
                 return self.model.inference(
                     params, inputs, pitch_transform, self.pitch_means,
                     self.pitch_stds, max_frames=self.max_out_frames)
-            self._compiled[pitch_transform] = jax.jit(run)
+            if self.mesh is None:
+                jitted = jax.jit(run)
+            else:
+                from daft_exprt_tpu.parallel.mesh import (batch_sharding,
+                                                          replicated)
+                rep = replicated(self.mesh)
+                bsh = batch_sharding(self.mesh, batch_axis=0)
+                jitted = jax.jit(run, in_shardings=(rep, bsh),
+                                 out_shardings=rep)
+            self._compiled[pitch_transform] = jitted
         return self._compiled[pitch_transform]
 
     def run(self, inputs, pitch_transform: str):
+        B = inputs[0].shape[0]
+        if self.mesh is not None:
+            from daft_exprt_tpu.parallel.mesh import shard_batch
+            dp = self.mesh.devices.size
+            pad = (-B) % dp
+            if pad:  # remainder batch: repeat the first row, crop after
+                inputs = tuple(
+                    np.concatenate([x, np.repeat(x[:1], pad, axis=0)])
+                    for x in inputs)
+            inputs = tuple(shard_batch(self.mesh, list(inputs),
+                                       batch_axis=0))
         out = self._fn(pitch_transform)(self.params, inputs)
-        return jax.tree.map(np.asarray, out)
+        out = jax.tree.map(np.asarray, out)
+        return jax.tree.map(lambda x: x[:B], out)
 
 
 # ----------------------------------------------------------------------

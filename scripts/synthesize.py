@@ -70,7 +70,13 @@ def synthesize(args):
 
     params, hparams = load_any_checkpoint(args.checkpoint)
     model = DaftExprt(hparams)
-    engine = InferenceEngine(model, params, hparams)
+    mesh = None
+    if args.data_parallel:
+        from daft_exprt_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh()
+        assert args.batch_size % mesh.devices.size == 0, (
+            "--batch_size must be a multiple of the device count")
+    engine = InferenceEngine(model, params, hparams, mesh=mesh)
     n_jobs = get_nb_jobs("max")
 
     sentences, file_names = prepare_sentences_for_inference(
@@ -160,6 +166,9 @@ def main():
                              "Griffin-Lim")
     parser.add_argument("--vocoder_config", default=None,
                         help="HiFi-GAN config.json (defaults to v1)")
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="shard batches over all visible chips "
+                             "(SPMD data-parallel serving)")
     args = parser.parse_args()
     synthesize(args)
 
