@@ -15,6 +15,8 @@ hot path; the torch-checkpoint converter in tools/ transposes):
 Behavioral parity targets are the reference modules in
 /root/reference/src/daft_exprt/model.py (LinearNorm :57, ConvNorm1D :75,
 MultiHeadAttention :153, PositionWiseConvFF :196, FFTBlock :240).
+The reference's ConvNorm2D (model.py:95-116) is defined but never used
+there and is intentionally not reimplemented.
 """
 
 from __future__ import annotations
