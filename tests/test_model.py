@@ -185,3 +185,47 @@ def test_param_count_full_size():
     n = model.num_params(params)
     # the reference model is ~15-20M params at this configuration
     assert 10_000_000 < n < 25_000_000, n
+
+
+def test_inference_bf16_close_to_f32(setup):
+    """bfloat16 compute (the TPU serving config) tracks f32 outputs.
+
+    With teacher-forced (identical) durations, mels agree to bf16-scale
+    tolerance; at inference, predicted integer durations may flip at
+    rounding boundaries but only ever by +-1 frame. Runs both paths
+    through XLA on CPU.
+    """
+    hp, _, params, batch = setup
+    hp16 = tiny_hparams(compute_dtype="bfloat16")
+    model32 = DaftExprt(hp)
+    model16 = DaftExprt(hp16)
+
+    # teacher-forced: decisions fixed -> pure numeric drift
+    fwd_in = _inputs(batch)
+    rng = jax.random.PRNGKey(1)
+    mel32 = np.asarray(model32.forward(params, fwd_in, rng,
+                                       train=False)[3][0])
+    mel16 = np.asarray(model16.forward(params, fwd_in, rng,
+                                       train=False)[3][0])
+    assert np.abs(mel32 - mel16).mean() < 0.05
+    assert np.abs(mel32 - mel16).max() < 0.6
+
+    # inference: integer durations drift at most +-1 frame
+    B, L = batch["symbols"].shape
+    ones = jnp.ones((B, L), jnp.float32)
+    inputs = (jnp.asarray(batch["symbols"]), ones, ones,
+              jnp.zeros((B, L), jnp.float32),
+              jnp.asarray(batch["input_lengths"]),
+              jnp.asarray(batch["frames_energy"]),
+              jnp.asarray(batch["frames_pitch"]),
+              jnp.asarray(batch["mel_specs"]),
+              jnp.asarray(batch["output_lengths"]),
+              jnp.asarray(batch["speaker_ids"]))
+    pitch_means = jnp.zeros((hp.n_speakers,), jnp.float32)
+    pitch_stds = jnp.ones((hp.n_speakers,), jnp.float32)
+    enc32, _, _ = model32.inference(params, inputs, "add", pitch_means,
+                                    pitch_stds, 64)
+    enc16, _, _ = model16.inference(params, inputs, "add", pitch_means,
+                                    pitch_stds, 64)
+    diff = np.abs(np.asarray(enc32[1]) - np.asarray(enc16[1]))
+    assert diff.max() <= 1, diff
