@@ -232,13 +232,14 @@ class TrainLoader:
         n_steps = len(order) // step_size
         for b in range(n_steps):
             idxs = order[b * step_size:(b + 1) * step_size]
+            # common step-wide buckets from the precomputed lengths so
+            # the stacked (accum, B, ...) arrays are rectangular --
+            # no trial collation pass needed
+            L = bucket_size(max(self._lengths[j][0] for j in idxs),
+                            hp.symbol_bucket, hp.max_symbols)
+            T = bucket_size(max(self._lengths[j][1] for j in idxs),
+                            hp.frame_bucket, hp.max_frames)
             examples = [self.ds[self._valid[j]] for j in idxs]
-            micros = [collate(examples[m * micro:(m + 1) * micro], hp)
-                      for m in range(accum)]
-            # pad all micro-batches of the step to a common bucket so
-            # the stacked (accum, B, ...) arrays are rectangular
-            L = max(m["symbols"].shape[1] for m in micros)
-            T = max(m["mel_specs"].shape[2] for m in micros)
             micros = [collate(examples[m * micro:(m + 1) * micro], hp,
                               pad_symbols=L, pad_frames=T)
                       for m in range(accum)]

@@ -34,6 +34,7 @@ from daft_exprt_tpu.training.checkpoint import load_checkpoint, \
 from daft_exprt_tpu.training.logger import TrainingLogger
 from daft_exprt_tpu.training.step import (_batch_to_inputs, make_eval_step,
                                           make_optimizer, make_train_step)
+from daft_exprt_tpu.utils import prefetch_iterator
 
 _logger = logging.getLogger(__name__)
 
@@ -185,7 +186,7 @@ class Trainer:
         epoch = self.iteration // max(steps_per_epoch, 1)
         t_iter = time.perf_counter()
         while self.iteration < target:
-            for batch in train_loader.epoch(epoch):
+            for batch in prefetch_iterator(train_loader.epoch(epoch)):
                 if self.iteration >= target:
                     break
                 self.iteration += 1
