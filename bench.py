@@ -158,6 +158,33 @@ def main():
     audio_sec = frames * hp.hop_length / hp.sampling_rate
     rtf = audio_sec / wall
 
+    # Style-bank serving: FiLM params precomputed once per style
+    # reference (InferenceEngine.run_cached); steady state skips the
+    # prosody encoder entirely. Measured device-resident like the
+    # primary metric (host round trips are a tunnel artifact here).
+    films = jax.jit(model.inference_film)(params, *inputs[5:10])
+    dummy = (jnp.zeros((B, 1), jnp.float32),
+             jnp.zeros((B, 1), jnp.float32),
+             jnp.zeros((B, hp.n_mel_channels, 1), jnp.float32),
+             jnp.ones((B,), jnp.int32))
+    slim = tuple(jax.device_put(x, device) for x in
+                 tuple(inputs[:5]) + dummy + (inputs[9],))
+
+    @jax.jit
+    def infer_cached(params, slim, films):
+        return model.inference(params, slim, "add", pitch_means,
+                               pitch_stds, max_frames=T, films=films)
+
+    out = infer_cached(params, slim, films)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = infer_cached(params, slim, films)
+    jax.block_until_ready(out)
+    cached_wall = time.perf_counter() - t0
+    rtf_cached = (B * T * iters * hp.hop_length / hp.sampling_rate) \
+        / cached_wall
+
     p50_ms = _p50_utterance_latency_ms(model, hp, params)
     steps_per_sec = _train_steps_per_sec(hp)
 
@@ -168,6 +195,7 @@ def main():
         "vs_baseline": round(rtf / NORTH_STAR_RTF, 3),
         "detail": {
             "mel_frames_per_sec_per_chip": round(frames_per_sec, 1),
+            "rtf_cached_style_bank": round(rtf_cached, 2),
             "p50_utterance_latency_ms": round(p50_ms, 3),
             "train_steps_per_sec": round(steps_per_sec, 3),
             "batch": B, "max_symbols": L, "max_frames": T,

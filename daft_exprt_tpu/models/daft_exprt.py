@@ -432,8 +432,29 @@ class DaftExprt:
         out = pitch_preds + deviation
         return jnp.where(voiced, out, 0.0)
 
+    def inference_film(self, params, energy_refs, pitch_refs,
+                       mel_spec_refs, ref_lengths, speaker_ids):
+        """FiLM parameters from a batch of reference utterances.
+
+        Split out of :meth:`inference` so serving can compute FiLM once
+        per unique (reference, speaker) pair and reuse it across
+        sentences -- the prosody encoder reads only the reference, so
+        with a fixed style bank this removes ~60% of per-sentence work
+        (the reference implementation recomputes it per batch row,
+        generate.py:242-317).
+
+        :return: (encoder_film, pred_film, decoder_film)
+        """
+        rng = jax.random.PRNGKey(0)  # unused (deterministic)
+        _, encoder_film, pred_film, decoder_film = self.prosody_encoder(
+            params["prosody_encoder"], energy_refs, pitch_refs,
+            mel_spec_refs, speaker_ids, ref_lengths, rng,
+            deterministic=True)
+        return encoder_film, pred_film, decoder_film
+
     def inference(self, params, inputs, pitch_transform: str,
-                  pitch_means, pitch_stds, max_frames: int):
+                  pitch_means, pitch_stds, max_frames: int,
+                  films=None):
         """Inference with prosody control factors.
 
         :param inputs: (symbols, dur_factors, energy_factors,
@@ -441,6 +462,9 @@ class DaftExprt:
             mel_spec_refs, ref_lengths, speaker_ids)
         :param pitch_transform: 'add' | 'multiply' (static)
         :param max_frames: static output frame budget T
+        :param films: optional precomputed (encoder_film, pred_film,
+            decoder_film) from :meth:`inference_film`; the reference
+            features in ``inputs`` are then ignored.
         """
         (symbols, dur_factors, energy_factors, pitch_factors, input_lengths,
          energy_refs, pitch_refs, mel_spec_refs, ref_lengths,
@@ -448,10 +472,11 @@ class DaftExprt:
         hp = self.hp
         rng = jax.random.PRNGKey(0)  # unused (deterministic)
 
-        _, encoder_film, pred_film, decoder_film = self.prosody_encoder(
-            params["prosody_encoder"], energy_refs, pitch_refs,
-            mel_spec_refs, speaker_ids, ref_lengths, rng,
-            deterministic=True)
+        if films is None:
+            films = self.inference_film(params, energy_refs, pitch_refs,
+                                        mel_spec_refs, ref_lengths,
+                                        speaker_ids)
+        encoder_film, pred_film, decoder_film = films
         enc_outputs = self.phoneme_encoder(
             params["phoneme_encoder"], symbols, encoder_film, input_lengths,
             rng, deterministic=True)
