@@ -55,30 +55,52 @@ def _layer_norm(y, scale, bias, eps):
     return (y - mean) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
-def _shift_up(x):
-    zero = jnp.zeros((1, x.shape[1]), x.dtype)
-    return jnp.concatenate([x[1:], zero], axis=0)
+def _pick_ff_tile(t: int) -> int:
+    """Conv-FF rows per inner tile: whole row up to 1024 frames, else
+    tiled so the (TT, C) hidden stays ~2 MB of f32 in VMEM."""
+    if t <= 1024:
+        return t
+    for tt in (512, 256, 128, 64, 32, 16, 8):
+        if t % tt == 0:
+            return tt
+    return t
 
 
-def _shift_down(x):
-    zero = jnp.zeros((1, x.shape[1]), x.dtype)
-    return jnp.concatenate([zero, x[:-1]], axis=0)
+def _conv3_valid(ext, w_ref, dot_dtype):
+    """VALID 3-tap conv: ext (N + 2, Cin) -> (N, Cout) f32.
 
-
-def _conv3(x, w_ref, dot_dtype):
+    Callers supply the 1-row halo (zeros at sequence boundaries), which
+    is what SAME zero padding reduces to on an extended slice.
+    """
+    n = ext.shape[0] - 2
     acc = jax.lax.dot_general(
-        _shift_down(x), w_ref[0].astype(dot_dtype),
+        ext[0:n], w_ref[0].astype(dot_dtype),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     acc += jax.lax.dot_general(
-        x, w_ref[1].astype(dot_dtype),
+        ext[1:n + 1], w_ref[1].astype(dot_dtype),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     acc += jax.lax.dot_general(
-        _shift_up(x), w_ref[2].astype(dot_dtype),
+        ext[2:n + 2], w_ref[2].astype(dot_dtype),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     return acc
+
+
+def _halo_slice(x, lo: int, hi: int, halo: int):
+    """Rows [lo - halo, hi + halo) of x with zero rows past the ends."""
+    T, E = x.shape
+    top_pad = max(halo - lo, 0)
+    bot_pad = max(hi + halo - T, 0)
+    body = x[max(lo - halo, 0):min(hi + halo, T)]
+    parts = []
+    if top_pad:
+        parts.append(jnp.zeros((top_pad, E), x.dtype))
+    parts.append(body)
+    if bot_pad:
+        parts.append(jnp.zeros((bot_pad, E), x.dtype))
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else body
 
 
 def _kernel(lengths_ref, x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
@@ -145,16 +167,33 @@ def _kernel(lengths_ref, x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
     attn = jnp.where(row < valid, attn, 0.0)
 
     # ---- conv feed-forward half ----
-    ac = attn.astype(dot_dtype)
-    hid = _conv3(ac, w1_ref, dot_dtype) + b1_ref[0]      # (T, C) f32
-    hid = jax.nn.relu(hid).astype(dot_dtype)
-    y = _conv3(hid, w2_ref, dot_dtype) + b2_ref[0]       # (T, E) f32
-    y = _layer_norm(y + attn, ln2_s_ref[0], ln2_b_ref[0], eps)
-
+    # Tiled over rows at long T so the (TT, C) hidden stays in VMEM
+    # budget; the chained k=3 convs need a 2-row halo, taken as slices
+    # of the VMEM-resident ``attn`` value (zeros past the ends = SAME
+    # padding semantics).
     gammas = film_ref[0, :1, :E]
     betas = film_ref[0, :1, E:]
-    y = gammas * y + betas
-    o_ref[0] = jnp.where(row < valid, y, 0.0)
+    TT = _pick_ff_tile(T)
+    ac = attn.astype(dot_dtype)
+    for i in range(T // TT):
+        lo, hi = i * TT, (i + 1) * TT
+        ext = _halo_slice(ac, lo, hi, 2)                  # (TT+4, E)
+        hid = _conv3_valid(ext, w1_ref, dot_dtype) + b1_ref[0]
+        hid = jax.nn.relu(hid).astype(dot_dtype)          # (TT+2, C)
+        # hidden halo rows OUTSIDE the sequence must be zeros (SAME
+        # padding pads h with zeros, not with relu(bias))
+        C = hid.shape[1]
+        if lo == 0:
+            hid = jnp.concatenate(
+                [jnp.zeros((1, C), hid.dtype), hid[1:]], axis=0)
+        if hi == T:
+            hid = jnp.concatenate(
+                [hid[:-1], jnp.zeros((1, C), hid.dtype)], axis=0)
+        y = _conv3_valid(hid, w2_ref, dot_dtype) + b2_ref[0]
+        y = _layer_norm(y + attn[lo:hi], ln2_s_ref[0], ln2_b_ref[0],
+                        eps)
+        y = gammas * y + betas
+        o_ref[0, lo:hi, :] = jnp.where(row[lo:hi] < valid, y, 0.0)
 
 
 @functools.partial(jax.jit,

@@ -56,6 +56,26 @@ def test_fused_fft_block_matches_xla(rng_np, B, H, T, with_film):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_fused_fft_block_tiled_ff_path(rng_np):
+    """T > 1024 activates the in-kernel conv-FF row tiling (VMEM cap);
+    results must match the whole-row XLA path, including the zero
+    hidden-halo semantics at sequence boundaries."""
+    B, H, T, E = 1, 2, 2048, 128
+    params = _make_block(rng_np, H, E=E, C=256)
+    x = jnp.asarray(rng_np.standard_normal((B, T, E)), jnp.float32)
+    film = jnp.asarray(rng_np.standard_normal((B, 2 * E)), jnp.float32)
+    valid = jnp.arange(T)[None, :] < 1500
+
+    ref = nn.fft_block_apply(params, x, film, valid, num_heads=H,
+                             attn_dropout=0.0, conv_dropout=0.0,
+                             rng=jax.random.PRNGKey(1), deterministic=True,
+                             dtype=jnp.float32)
+    out = fused_fft_block(x, params, film, valid, num_heads=H,
+                          dot_dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_fused_fft_block_bf16(rng_np):
     B, H, T, E = 2, 2, 128, 128
     params = _make_block(rng_np, H)
