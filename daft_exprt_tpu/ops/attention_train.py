@@ -309,8 +309,15 @@ attention_core.defvjp(_attention_fwd, _attention_bwd)
 
 
 def use_train_attention(t: int, e: int, num_heads: int) -> bool:
-    """TPU backend, bucketed T, lane-aligned packed embed dim."""
+    """TPU backend, bucketed T, lane-aligned packed embed dim.
+
+    Capped at T <= 1024: the backward kernel's per-head VMEM working
+    set (lane-padded (T, D) slices for all unrolled heads) exceeds the
+    16 MB budget at the 2048-frame bucket; batches of such rows (>12 s
+    utterances) fall back to XLA autodiff attention.
+    """
     if os.environ.get("DAFT_DISABLE_TRAIN_ATTN", "") == "1":
         return False
-    return (jax.default_backend() == "tpu" and t % 8 == 0 and t >= 128
-            and e % 128 == 0 and e % num_heads == 0)
+    return (jax.default_backend() == "tpu" and t % 8 == 0
+            and 128 <= t <= 1024 and e % 128 == 0
+            and e % num_heads == 0)
