@@ -4,8 +4,17 @@ The reference trains with DDP (NCCL all-reduce every micro-batch,
 /root/reference/src/daft_exprt/train.py:368-401) and 3x gradient
 accumulation. Here the whole optimizer step is ONE compiled XLA program:
 ``lax.scan`` over micro-batches accumulates gradients locally, and the
-cross-device reduction is a single psum inserted by the partitioner at
-the end -- one collective per step instead of one per micro-batch.
+cross-device reduction is a single ``pmean`` over the 'data' mesh axis
+at the end -- one collective per step instead of one per micro-batch.
+
+The mesh path uses ``shard_map`` (manual SPMD), not GSPMD propagation:
+the Pallas kernels (fused attention fwd/bwd) are custom calls that the
+automatic partitioner cannot split -- under plain ``jit`` it would
+all-gather their operands and run them replicated. Inside ``shard_map``
+each device executes the kernels on its own batch shard. Dropout rngs
+are folded with the device index so masks are independent across
+shards (bitwise parity with the single-device step therefore only
+holds with dropout disabled).
 
 Optimizer parity: torch Adam(betas=(0.9, 0.98), eps=1e-9, weight_decay=
 1e-6) == clip-by-global-norm (if finite) -> add_decayed_weights ->
@@ -19,8 +28,10 @@ import math
 import jax
 import jax.numpy as jnp
 import optax
+from jax.sharding import PartitionSpec as P
 
-from daft_exprt_tpu.parallel.mesh import (batch_sharding, replicated)
+from daft_exprt_tpu.parallel.mesh import DATA_AXIS, batch_sharding, \
+    replicated
 from daft_exprt_tpu.training.loss import compute_loss
 from daft_exprt_tpu.training.schedule import make_lr_schedule
 
@@ -76,8 +87,12 @@ def make_train_step(model, hp, mesh=None, donate=True):
         return loss / accum, indiv
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    distributed = mesh is not None
 
     def step(params, opt_state, batch, rng, iteration):
+        if distributed:
+            # independent dropout masks per shard
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
         rngs = jax.random.split(rng, accum)
 
         def micro(carry, xs):
@@ -98,6 +113,12 @@ def make_train_step(model, hp, mesh=None, donate=True):
             micro, (zero_grads, jnp.array(0.0, jnp.float32), zero_indiv),
             (batch, rngs))
 
+        if distributed:
+            # DDP semantics: gradient/metrics = mean over the global
+            # batch; one collective per optimizer step
+            grads, tot_loss, indiv = jax.lax.pmean(
+                (grads, tot_loss, indiv), DATA_AXIS)
+
         grad_norm = optax.global_norm(grads)
         updates, new_opt_state = tx.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
@@ -110,17 +131,17 @@ def make_train_step(model, hp, mesh=None, donate=True):
     if mesh is None:
         return jax.jit(step, donate_argnums=(0, 1) if donate else ())
 
-    rep = replicated(mesh)
-    bsh = batch_sharding(mesh, batch_axis=1)  # (accum, B, ...)
-    # a single sharding acts as a pytree prefix for the whole batch dict
-    return jax.jit(step,
-                   in_shardings=(rep, rep, bsh, rep, rep),
-                   out_shardings=(rep, rep, rep),
-                   donate_argnums=(0, 1) if donate else ())
+    sharded = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(P(), P(), P(None, DATA_AXIS), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False)
+    return jax.jit(sharded, donate_argnums=(0, 1) if donate else ())
 
 
 def make_eval_step(model, hp, mesh=None):
     """Validation step: loss on a (B, ...) batch, no dropout."""
+    distributed = mesh is not None
 
     def step(params, batch, rng):
         outputs = model.forward(params, _batch_to_inputs(batch), rng,
@@ -129,10 +150,13 @@ def make_eval_step(model, hp, mesh=None):
                                    jnp.array(0, jnp.int32), hp)
         indiv = dict(indiv)
         indiv["loss"] = loss
+        if distributed:
+            indiv = jax.lax.pmean(indiv, DATA_AXIS)
         return indiv
 
     if mesh is None:
         return jax.jit(step)
-    rep = replicated(mesh)
-    bsh = batch_sharding(mesh, batch_axis=0)
-    return jax.jit(step, in_shardings=(rep, bsh, rep), out_shardings=rep)
+    sharded = jax.shard_map(step, mesh=mesh,
+                            in_specs=(P(), P(DATA_AXIS), P()),
+                            out_specs=P(), check_vma=False)
+    return jax.jit(sharded)
