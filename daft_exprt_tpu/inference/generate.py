@@ -193,12 +193,16 @@ class InferenceEngine:
             if self.mesh is None:
                 jitted = jax.jit(run)
             else:
-                from daft_exprt_tpu.parallel.mesh import (batch_sharding,
-                                                          replicated)
-                rep = replicated(self.mesh)
-                bsh = batch_sharding(self.mesh, batch_axis=0)
-                jitted = jax.jit(run, in_shardings=(rep, bsh),
-                                 out_shardings=rep)
+                # shard_map, not GSPMD propagation: the fused Pallas
+                # kernels are custom calls the automatic partitioner
+                # would otherwise all-gather and replicate.
+                from jax.sharding import PartitionSpec as P
+
+                from daft_exprt_tpu.parallel.mesh import DATA_AXIS
+                jitted = jax.jit(jax.shard_map(
+                    run, mesh=self.mesh,
+                    in_specs=(P(), P(DATA_AXIS)),
+                    out_specs=P(DATA_AXIS), check_vma=False))
             self._compiled[pitch_transform] = jitted
         return self._compiled[pitch_transform]
 
