@@ -227,7 +227,9 @@ class InferenceEngine:
         assert self.mesh is None, "film cache: single-device path only"
         B = inputs[0].shape[0]
         assert len(film_keys) == B, (len(film_keys), B)
-        if any(k is None or k not in self._film_cache for k in film_keys):
+        missing = not self._film_cache or any(
+            k is not None and k not in self._film_cache for k in film_keys)
+        if missing:
             computed = self._fn_film()(self.params, *inputs[5:10])
             computed = jax.tree.map(np.asarray, computed)
             rows = []
@@ -236,8 +238,24 @@ class InferenceEngine:
                 if k is not None:  # None = padding row, don't cache
                     self._film_cache[k] = row_film
                 rows.append(row_film)
+            # bound host memory: drop oldest entries (dict preserves
+            # insertion order)
+            while len(self._film_cache) > 4096:
+                self._film_cache.pop(next(iter(self._film_cache)))
         else:
-            rows = [self._film_cache[k] for k in film_keys]
+            # padding rows (key None) get zero films; their outputs are
+            # cropped away by the caller
+            zero = None
+            rows = []
+            for k in film_keys:
+                if k is not None:
+                    rows.append(self._film_cache[k])
+                else:
+                    if zero is None:
+                        any_row = self._film_cache[next(
+                            iter(self._film_cache))]
+                        zero = tuple(np.zeros_like(f) for f in any_row)
+                    rows.append(zero)
         films = tuple(np.stack([r[i] for r in rows]) for i in range(3))
         # refs are unused with precomputed films; pass (B, 1) dummies so
         # the executable doesn't transfer full-size reference tensors
@@ -335,6 +353,12 @@ def generate_mel_specs(engine: InferenceEngine, sentences, file_names,
     os.makedirs(output_dir, exist_ok=True)
     predictions, batch_times, audio_seconds = {}, [], []
 
+    # FiLM caching pays an extra executable dispatch per batch; use it
+    # only when references actually repeat (style-bank serving), not
+    # for one-reference-per-sentence workloads.
+    use_film_cache = engine.mesh is None and \
+        len(set(zip(refs, speaker_ids))) < N
+
     idx_chunks = list(chunker(list(range(N)), batch_size))
     for chunk in idx_chunks:
         t0 = time.perf_counter() if get_time_perf else None
@@ -350,7 +374,7 @@ def generate_mel_specs(engine: InferenceEngine, sentences, file_names,
             [refs[i] for i in chunk],
             [speaker_ids[i] for i in chunk],
             hp, pad_batch_to=batch_size if get_time_perf else None)
-        if engine.mesh is None:
+        if use_film_cache:
             # reuse FiLM params across batches for repeated style
             # references (typical style-bank serving)
             film_keys = [(refs[i], speaker_ids[i]) for i in chunk]

@@ -43,16 +43,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_NEG = float(jnp.finfo(jnp.float32).min)
-_LOGIT_TILE_BYTES = 2 * 1024 * 1024
-
-
-def _pick_q_tile(t: int) -> int:
-    budget = max(_LOGIT_TILE_BYTES // (t * 4), 8)
-    for tq in (512, 256, 128, 64, 32, 16, 8):
-        if tq <= budget and t % tq == 0:
-            return min(tq, t)
-    return t
+from daft_exprt_tpu.ops.attention_common import (NEG_INF as _NEG, pick_q_tile as _pick_q_tile)
 
 
 def _dropout_threshold(rate: float) -> int:

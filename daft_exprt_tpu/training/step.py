@@ -30,8 +30,7 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import PartitionSpec as P
 
-from daft_exprt_tpu.parallel.mesh import DATA_AXIS, batch_sharding, \
-    replicated
+from daft_exprt_tpu.parallel.mesh import DATA_AXIS
 from daft_exprt_tpu.training.loss import compute_loss
 from daft_exprt_tpu.training.schedule import make_lr_schedule
 

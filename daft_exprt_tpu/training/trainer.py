@@ -191,16 +191,16 @@ class Trainer:
                     break
                 self.iteration += 1
                 if self.profile_steps > 0 and self.is_chief:
-                    if self.iteration == self.profile_start:
+                    if not self._profiling and self.profile_steps > 0 \
+                            and self.iteration >= self.profile_start \
+                            and self.iteration < self.profile_start \
+                            + self.profile_steps:
                         jax.profiler.start_trace(
                             os.path.join(out_dir, "logs", "profile"))
                         self._profiling = True
                     elif self._profiling and self.iteration \
                             >= self.profile_start + self.profile_steps:
-                        jax.profiler.stop_trace()
-                        self._profiling = False
-                        _logger.info("profiler trace written to "
-                                     f"{out_dir}/logs/profile")
+                        self._stop_profile(out_dir)
                 rng, step_rng = jax.random.split(rng)
                 if self.mesh is not None:
                     batch = shard_batch(self.mesh, batch, batch_axis=1)
@@ -251,11 +251,18 @@ class Trainer:
                                            out_dir)
             epoch += 1
 
+        if self._profiling:  # training ended inside the profile window
+            self._stop_profile(out_dir)
         if self.is_chief:
             save_checkpoint(ckpt_dir, self.iteration, params, opt_state,
                             hp, self.best_val_loss, name="DaftExprt_last")
             logger_tb.close()
         return params, opt_state
+
+    def _stop_profile(self, out_dir: str):
+        jax.profiler.stop_trace()
+        self._profiling = False
+        _logger.info(f"profiler trace written to {out_dir}/logs/profile")
 
 
 def launch_training(hparams, benchmark_hook=None,

@@ -173,28 +173,41 @@ def prefetch_iterator(iterable, depth: int = 3):
     Host-side batch assembly (``.npy`` reads + collation) overlaps with
     device execution of the previous step -- without this, the compiled
     train step (tens of ms) stalls on synchronous batch building.
-    Exceptions in the producer re-raise at the consuming site.
+    Exceptions in the producer re-raise at the consuming site. If the
+    consumer stops early (break / GeneratorExit), the producer is told
+    to stop instead of blocking forever on a full queue.
     """
     import queue
     import threading
 
     q = queue.Queue(maxsize=depth)
+    stop = threading.Event()
     _END = object()
 
     def producer():
         try:
             for item in iterable:
-                q.put(item)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
             q.put(_END)
         except BaseException as e:  # re-raise in the consumer
             q.put(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()

@@ -234,6 +234,11 @@ def load_torch_generator(checkpoint_path: str, config_path: str = None):
     if config_path:
         with open(config_path) as f:
             config = json.load(f)
+        if str(config.get("resblock", "1")) != "1":
+            raise NotImplementedError(
+                "only ResBlock1-style generators (official v1/v2 "
+                "configs with \"resblock\": \"1\") are supported; got "
+                f"resblock={config['resblock']!r}")
     gen = HiFiGanGenerator(config)
 
     params = {"conv_pre": _to_conv(state, "conv_pre"),
