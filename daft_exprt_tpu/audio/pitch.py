@@ -235,11 +235,46 @@ def extract_pitch(wav: np.ndarray, fs: int, hparams,
         track = track.astype(np.float64)
     else:
         track = sample_synchronous_f0(wav, fs, hparams).astype(np.float64)
+    return log_f0_per_mel_frame(track, hparams.hop_length)
+
+
+def log_f0_per_mel_frame(track: np.ndarray,
+                         hop_length: int) -> np.ndarray:
+    """Per-sample F0 track -> per-mel-frame log-F0 (unvoiced = 0)."""
+    track = np.asarray(track, np.float64).copy()
     unvoiced = track <= 0.0
     track[unvoiced] = 1.0
     log_f0 = np.log(track)
     log_f0[unvoiced] = 0.0
-    frames = log_f0[::hparams.hop_length]
-    if len(log_f0) % hparams.hop_length == 0:
+    frames = log_f0[::hop_length]
+    if len(log_f0) % hop_length == 0:
         frames = np.append(frames, log_f0[-1])
     return frames
+
+
+def extract_pitch_from_frame_f0(f0: np.ndarray, starts: np.ndarray,
+                                wav_len: int, fs: int,
+                                hparams) -> np.ndarray:
+    """Per-mel-frame log-F0 from an analysis-frame F0 track.
+
+    Consumes the output of ``pitch_jax.track_pitch_batch`` (one padded
+    row): frames are truncated to exactly the set the host tracker
+    emits for ``wav_len`` samples (start + 2 * max_lag <= wav_len --
+    the extra padded-row frames are forced-unvoiced and must NOT
+    override the tail hold), then the identical sample-synchronous
+    hold + int16 quantization + log/downsample chain as
+    :func:`extract_pitch` is applied, so the device-batched path is
+    frame-for-frame identical to the host path.
+    """
+    max_lag = int(np.ceil(fs / hparams.min_f0))
+    keep = starts <= wav_len - 2 * max_lag
+    f0 = np.asarray(f0)[keep]
+    starts = np.asarray(starts)[keep]
+    track = np.zeros(wav_len, np.int16)
+    if len(starts):
+        bounds = np.append(starts, wav_len)
+        for i in range(len(starts)):
+            track[bounds[i]:bounds[i + 1]] = np.int16(round(f0[i]))
+        track[:bounds[0]] = np.int16(round(f0[0]))
+    return log_f0_per_mel_frame(track.astype(np.float64),
+                                hparams.hop_length)

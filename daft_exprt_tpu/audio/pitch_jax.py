@@ -79,8 +79,16 @@ def frame_starts(S: int, fs: int, frame_interval: float, min_f0: float,
 
 @functools.partial(jax.jit, static_argnames=("fs", "min_lag", "uv_cost"))
 def viterbi_batch(nccf: jnp.ndarray, fs: int, min_lag: int,
-                  uv_cost: float):
-    """(B, F, K) nccf -> (f0 (B, F), voiced (B, F)) via scan Viterbi."""
+                  uv_cost: float, frame_valid=None):
+    """(B, F, K) nccf -> (f0 (B, F), voiced (B, F)) via scan Viterbi.
+
+    ``frame_valid`` (B, F) marks real frames of padded rows. Padded
+    frames get zero local AND transition costs, which makes the scan a
+    pure broadcast through them: the backtrace entering the padding
+    picks argmin over the last real frame's costs -- exactly where the
+    per-utterance host tracker terminates -- so batching rows of
+    different lengths is bit-identical to tracking each row alone.
+    """
     B, F, K = nccf.shape
     max_lag = min_lag + K - 1
     cand_nccf, order = jax.lax.top_k(nccf, _N_CANDS)     # (B, F, N)
@@ -93,6 +101,9 @@ def viterbi_batch(nccf: jnp.ndarray, fs: int, min_lag: int,
     local = jnp.concatenate(
         [jnp.full((B, F, 1), uv_cost, jnp.float32), voiced_local],
         axis=-1)                                          # (B, F, S)
+    if frame_valid is None:
+        frame_valid = jnp.ones((B, F), bool)
+    local = jnp.where(frame_valid[..., None], local, 0.0)
     # state log-lags with a placeholder for unvoiced
     slog = jnp.concatenate(
         [jnp.zeros((B, F, 1), jnp.float32), log_lag], axis=-1)
@@ -109,15 +120,18 @@ def viterbi_batch(nccf: jnp.ndarray, fs: int, min_lag: int,
 
     def body(carry, frame):
         cost_prev, prev_log = carry
-        local_f, slog_f = frame
-        total = cost_prev[:, :, None] + trans_matrix(prev_log, slog_f)
+        local_f, slog_f, valid_f = frame
+        trans = trans_matrix(prev_log, slog_f) \
+            * valid_f[:, None, None].astype(jnp.float32)
+        total = cost_prev[:, :, None] + trans
         back = jnp.argmin(total, axis=1)                  # (B, S)
         cost = jnp.min(total, axis=1) + local_f
         return (cost, slog_f), back
 
     init = (local[:, 0, :], slog[:, 0, :])
     frames = (jnp.moveaxis(local[:, 1:], 1, 0),
-              jnp.moveaxis(slog[:, 1:], 1, 0))
+              jnp.moveaxis(slog[:, 1:], 1, 0),
+              jnp.moveaxis(frame_valid[:, 1:], 1, 0))
     (final_cost, _), backs = jax.lax.scan(body, init, frames)
     # backs: (F-1, B, S)
 
@@ -156,7 +170,7 @@ def track_pitch_batch(wavs, lengths, fs: int, frame_interval: float = 0.005,
     starts = frame_starts(wavs.shape[1], fs, frame_interval, min_f0,
                           max_f0)
     uv_cost = 1.0 - 1.0 / (1.0 + uv_weight)
-    f0, _ = viterbi_batch(nccf, fs, min_lag, uv_cost)
-    valid = (starts[None, :] + 2 * max_lag
-             <= np.asarray(lengths)[:, None])
-    return jnp.where(jnp.asarray(valid), f0, 0.0), starts
+    valid = jnp.asarray(starts[None, :] + 2 * max_lag
+                        <= np.asarray(lengths)[:, None])
+    f0, _ = viterbi_batch(nccf, fs, min_lag, uv_cost, frame_valid=valid)
+    return jnp.where(valid, f0, 0.0), starts

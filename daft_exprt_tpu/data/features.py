@@ -252,12 +252,14 @@ def extract_features_for_file(markers_file: str, wav_file: str,
     return file_name
 
 
-def _prepare_one(files, hparams, log_queue):
+def _prepare_one(files, hparams, log_queue, skip_pitch=False):
     """Pool worker: everything numpy-only (NO jax in forked workers).
 
     Loads + trims the wav, validates markers, quantizes durations,
-    rewrites markers, runs the NCCF pitch tracker. The mel/energy device
-    kernel runs batched in the main process afterwards.
+    rewrites markers, runs the NCCF pitch tracker (unless
+    ``skip_pitch`` -- the device_pitch path batches F0 on device in the
+    main process instead). The mel/energy device kernel runs batched in
+    the main process afterwards.
     """
     logger = worker_logger(log_queue)
     markers_file, wav_file = files
@@ -299,8 +301,11 @@ def _prepare_one(files, hparams, log_queue):
                                  sent_begin, int_durs, hparams, logger)
         if markers is None:
             return None
-        frames_pitch = extract_pitch(wav, fs, hparams)
-        assert len(frames_pitch) == nb_frames, markers_file
+        if skip_pitch:
+            frames_pitch = None
+        else:
+            frames_pitch = extract_pitch(wav, fs, hparams)
+            assert len(frames_pitch) == nb_frames, markers_file
         return {"file_name": file_name, "wav": wav, "markers": markers,
                 "frames_pitch": frames_pitch}
     except AssertionError as e:
@@ -365,15 +370,48 @@ def _write_features(features_dir: str, item: dict, log_mel: np.ndarray,
             f.writelines(_fmt_col(vals))
 
 
+def _pitch_batched(items: list, hparams):
+    """Fill ``frames_pitch`` for a chunk via the batched device tracker.
+
+    Pads the chunk's wavs to a common length, runs the JAX NCCF +
+    Viterbi kernel once, then applies the host path's exact
+    sample-synchronous hold / quantization / downsampling per item.
+    """
+    from daft_exprt_tpu.audio.pitch import extract_pitch_from_frame_f0
+    from daft_exprt_tpu.audio.pitch_jax import track_pitch_batch
+
+    fs = hparams.sampling_rate
+    lens = np.array([len(x["wav"]) for x in items])
+    S = int(((lens.max() + 1023) // 1024) * 1024)
+    batch = np.zeros((len(items), S), np.float32)
+    for i, x in enumerate(items):
+        batch[i, :lens[i]] = x["wav"]
+    f0, starts = track_pitch_batch(
+        batch, lens, fs, frame_interval=hparams.f0_interval,
+        min_f0=hparams.min_f0, max_f0=hparams.max_f0,
+        uv_weight=hparams.uv_cost)
+    f0 = np.asarray(f0)
+    for i, item in enumerate(items):
+        frames = extract_pitch_from_frame_f0(f0[i], starts, int(lens[i]),
+                                             fs, hparams)
+        nb_frames = 1 + len(item["wav"]) // hparams.hop_length
+        assert len(frames) == nb_frames, item["file_name"]
+        item["frames_pitch"] = frames
+
+
 # ----------------------------------------------------------------------
 # Orchestration
 # ----------------------------------------------------------------------
 def extract_features(dataset_dir: str, features_dir: str, hparams,
-                     n_jobs: int, device_batch: int = 32):
+                     n_jobs: int, device_batch: int = 32,
+                     device_pitch: bool = False):
     """Extract features for every speaker (incremental).
 
-    Host pool (numpy) prepares wavs/markers/pitch; mel+energy run as
-    bucketed batched device kernels in the main process.
+    Host pool (numpy) prepares wavs/markers (and, by default, F0);
+    mel+energy run as bucketed batched device kernels in the main
+    process. With ``device_pitch``, F0 tracking also runs as the
+    batched JAX NCCF+Viterbi kernel on device (frame-for-frame
+    identical to the host tracker), leaving the pool workers pure I/O.
     """
     for speaker in hparams.speakers:
         _logger.info(f'Speaker: "{speaker}"')
@@ -402,10 +440,13 @@ def extract_features(dataset_dir: str, features_dir: str, hparams,
             chunk = files[chunk_start:chunk_start + device_batch]
             items = launch_multi_process(
                 iterable=chunk, func=_prepare_one, n_jobs=n_jobs,
-                hparams=hparams, timer_verbose=False)
+                hparams=hparams, skip_pitch=device_pitch,
+                timer_verbose=False)
             items = [x for x in items if x is not None]
             if not items:
                 continue
+            if device_pitch:
+                _pitch_batched(items, hparams)
             mels = _mel_energy_batched([x["wav"] for x in items], hparams)
             for item, (log_mel, energy) in zip(items, mels):
                 _write_features(spk_features_dir, item, log_mel, energy)

@@ -101,7 +101,8 @@ def pre_process(args):
     from daft_exprt_tpu.data.stats import extract_features_stats
 
     mfa(args.data_set_dir, hparams, n_jobs)
-    extract_features(args.data_set_dir, features_dir, hparams, n_jobs)
+    extract_features(args.data_set_dir, features_dir, hparams, n_jobs,
+                     device_pitch=args.device_pitch)
     create_sets(features_dir, hparams,
                 proportion_validation=args.proportion_validation)
     stats = extract_features_stats(hparams, n_jobs)
@@ -178,6 +179,9 @@ def main():
     p.add_argument("--features_dir", required=True)
     p.add_argument("--proportion_validation", type=float, default=0.1)
     p.add_argument("--nb_jobs", default="6")
+    p.add_argument("--device_pitch", action="store_true",
+                   help="run F0 tracking as the batched JAX kernel on "
+                        "device instead of in the host worker pool")
     p.set_defaults(func=pre_process)
 
     p = sub.add_parser("train", parents=[common])

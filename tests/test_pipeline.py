@@ -285,3 +285,40 @@ def test_fine_tuning_dataset(corpus):
                 assert mel.shape == gt.shape
                 produced.append(base)
     assert len(produced) == n_train, (len(produced), n_train)
+
+
+def test_device_pitch_features_match_host(corpus):
+    """extract_features(device_pitch=True) writes byte-identical F0
+    features: the batched JAX tracker + exact hold/quantization chain
+    reproduces the host worker-pool path."""
+    root, hp, dataset_dir, features_dir = corpus
+    host_dir = os.path.join(features_dir, hp.speakers[0])
+    if not any(x.endswith(".frames_f0") for x in os.listdir(host_dir)):
+        for spk in hp.speakers:
+            extract_markers(os.path.join(dataset_dir, spk, "align"),
+                            n_jobs=2)
+        extract_features(dataset_dir, features_dir, hp, n_jobs=2)
+
+    dev_features = os.path.join(root, "features_device_pitch")
+    for spk in hp.speakers:
+        os.makedirs(os.path.join(dev_features, spk), exist_ok=True)
+        import shutil
+        shutil.copy(os.path.join(features_dir, spk, "metadata.csv"),
+                    os.path.join(dev_features, spk, "metadata.csv"))
+    extract_features(dataset_dir, dev_features, hp, n_jobs=2,
+                     device_pitch=True)
+
+    compared = 0
+    for spk in hp.speakers:
+        d_host = os.path.join(features_dir, spk)
+        d_dev = os.path.join(dev_features, spk)
+        for x in sorted(os.listdir(d_host)):
+            if not (x.endswith(".frames_f0") or x.endswith(".symbols_f0")):
+                continue
+            with open(os.path.join(d_host, x)) as f:
+                host_vals = f.read()
+            with open(os.path.join(d_dev, x)) as f:
+                dev_vals = f.read()
+            assert host_vals == dev_vals, x
+            compared += 1
+    assert compared >= 6 * 2  # 3 utts x 2 files x 2 speakers
