@@ -378,7 +378,9 @@ def generate_mel_specs(engine: InferenceEngine, sentences, file_names,
             # reuse FiLM params across batches for repeated style
             # references (typical style-bank serving)
             film_keys = [(refs[i], speaker_ids[i]) for i in chunk]
-            film_keys += [None] * (B - len(chunk))  # padding rows
+            # pad keys to the PADDED batch rows (collate pads to
+            # batch_size under get_time_perf), not the true row count
+            film_keys += [None] * (inputs[0].shape[0] - len(film_keys))
             encoder_preds, decoder_preds, weights = engine.run_cached(
                 inputs, pitch_transform, film_keys)
         else:

@@ -51,11 +51,14 @@ def test_synthesize_cli(converted_ckpt, monkeypatch):
 
     root, ckpt_dir, hp = converted_ckpt
 
-    # pre-phonemized sentences (no MFA dependency)
+    # pre-phonemized sentences (no MFA dependency); odd count so the
+    # last RTF-mode batch is PADDED (regression: film_keys must pad to
+    # the padded batch rows, not the true row count)
     text_file = str(root / "sentences.txt")
     with open(text_file, "w") as f:
         f.write("{HH AH0 L OW1} {W ER1 L D}\n")
         f.write("{S W IY1 T} {W ER1 L D}!\n")
+        f.write("{HH AH0 L OW1} {S W IY1 T}\n")
 
     # style bank: one synthetic voiced wav
     style_dir = str(root / "style_bank")
@@ -77,8 +80,8 @@ def test_synthesize_cli(converted_ckpt, monkeypatch):
     outputs = os.listdir(out_dir)
     npz = [x for x in outputs if x.endswith(".npz")]
     wavs = [x for x in outputs if x.endswith(".wav")]
-    assert len(npz) == 2, outputs
-    assert len(wavs) == 2, outputs
+    assert len(npz) == 3, outputs
+    assert len(wavs) == 3, outputs
     for x in npz:
         mel = np.load(os.path.join(out_dir, x))["mel_spec"]
         assert mel.shape[0] == hp.n_mel_channels
@@ -87,4 +90,4 @@ def test_synthesize_cli(converted_ckpt, monkeypatch):
     pairs = os.path.join(out_dir, "ref_generated_pairs.txt")
     assert os.path.isfile(pairs)
     with open(pairs) as f:
-        assert len([line for line in f if line.strip()]) == 2
+        assert len([line for line in f if line.strip()]) == 3
