@@ -27,6 +27,8 @@ import numpy as np
 
 from daft_exprt_tpu.ops.attention_train import attention_core, \
     use_train_attention
+from daft_exprt_tpu.ops.conv_ff_train import conv_ff_train, \
+    use_train_conv_ff
 from daft_exprt_tpu.ops.fft_block import fused_fft_block, \
     use_fused_fft_block
 
@@ -278,6 +280,33 @@ def conv_ff_apply(params, x, film_params, *, conv_dropout, rng,
 
     :param film_params: (B, 2 * E) -- [gammas | betas] -- or None
     """
+    B, T, E = x.shape
+    kernel = params["conv1"]["w"].shape[0]
+    C = params["conv1"]["w"].shape[2]
+    if use_train_conv_ff(T, E, C, kernel):
+        # Custom-VJP Pallas kernels (recompute backward, in-kernel
+        # dropout): the staged XLA formulation round-trips the (T, C)
+        # hidden through HBM in both autodiff directions.
+        rate = float(conv_dropout) if not deterministic else 0.0
+        if rate > 0.0:
+            rng, sub = jax.random.split(rng)
+            seeds = jax.lax.bitcast_convert_type(
+                jax.random.bits(sub, (B,), jnp.uint32), jnp.int32)
+        else:
+            seeds = jnp.zeros((B,), jnp.int32)
+        if film_params is None:
+            film = jnp.concatenate(
+                [jnp.ones((B, E), jnp.float32),
+                 jnp.zeros((B, E), jnp.float32)], axis=1)
+        else:
+            film = film_params.astype(jnp.float32)
+        return conv_ff_train(
+            x, params["conv1"]["w"], params["conv1"]["b"].reshape(1, -1),
+            params["conv2"]["w"], params["conv2"]["b"].reshape(1, -1),
+            params["ln"]["scale"].reshape(1, -1),
+            params["ln"]["bias"].reshape(1, -1), film[:, None, :],
+            seeds, rate, dtype)
+
     h = conv1d_apply(params["conv1"], x, dtype,
                      matmul_form=not deterministic)
     h = jax.nn.relu(h)

@@ -1,0 +1,319 @@
+"""Trainable fused conv feed-forward: Pallas forward + backward kernels.
+
+One FFT block's feed-forward half for the TRAINING path (the
+forward-only fused FFT block in ops/fft_block.py serves inference):
+
+  out = film * LN(dropout(conv2(relu(conv1(x)))) + x) + film_beta
+
+with k=3 SAME convs as shifted matmuls. Staged XLA ops round-trip the
+(T, C=1024) hidden through HBM in both directions and re-generate
+dropout masks from threefry; here the hidden lives in VMEM, the
+backward recomputes it from x (no stored residual), and dropout masks
+come from the same counter-based hash in both kernels (see
+ops/attention_train.py for the hash rationale).
+
+Backward math (per batch row; recompute a1 = conv1(x)+b1, h = relu(a1),
+a2 = conv2(h)+b2, r = drop(a2)+x, LN stats):
+  dy_ln = g * film_gamma;            dfilm = (sum dy*yln, sum dy)
+  dr    = LN_bwd(dy_ln)              (standard per-row LN backward)
+  da2   = dr * mask/keep;            db2 = sum da2
+  dh    = conv2^T(da2) = sum_d shift_{-d}(da2 @ w2[d]^T)
+  da1   = dh * (a1 > 0);             db1 = sum da1
+  dx    = dr + conv1^T(da1);         dw[d] = shift_d(in)^T @ dout
+
+Weight/bias/LN-scale grads are summed over the batch by revisiting a
+constant output block across the sequential grid (zero-initialized at
+program 0). Capped at T <= 1024 like the attention kernels (VMEM);
+longer rows fall back to XLA autodiff.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from daft_exprt_tpu.ops.attention_train import (_dropout_threshold,
+                                                _keep_mask)
+
+_EPS = 1e-5
+
+
+def _shift_up(x):
+    zero = jnp.zeros((1, x.shape[1]), x.dtype)
+    return jnp.concatenate([x[1:], zero], axis=0)
+
+
+def _shift_down(x):
+    zero = jnp.zeros((1, x.shape[1]), x.dtype)
+    return jnp.concatenate([zero, x[:-1]], axis=0)
+
+
+def _shifts(x):
+    return (_shift_down(x), x, _shift_up(x))
+
+
+def _conv3(x, w_ref, dot_dtype):
+    """SAME 3-tap conv: x (T, Cin) @ w (3, Cin, Cout) -> (T, Cout) f32."""
+    acc = None
+    for d, xs in enumerate(_shifts(x)):
+        term = jax.lax.dot_general(
+            xs, w_ref[d].astype(dot_dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _conv3_t(g, w_ref, dot_dtype):
+    """Transpose (data gradient) of _conv3: g (T, Cout) -> (T, Cin).
+
+    y[t] = x[t-1] w0 + x[t] w1 + x[t+1] w2, so
+    dx[m] = shift_up(g @ w0^T)[m] + (g @ w1^T)[m]
+          + shift_down(g @ w2^T)[m].
+    """
+    def gw(d):
+        return jax.lax.dot_general(
+            g, w_ref[d].astype(dot_dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    return _shift_up(gw(0)) + gw(1) + _shift_down(gw(2))
+
+
+def _forward_core(x, w1_ref, b1_ref, w2_ref, b2_ref, seed, rate,
+                  dot_dtype):
+    """Recomputable forward up to r = dropout(a2) + x. Returns
+    (h bf16, a1_pos mask, keep mask or None, r f32)."""
+    xc = x.astype(dot_dtype)
+    a1 = _conv3(xc, w1_ref, dot_dtype) + b1_ref[0]      # (T, C) f32
+    a1_pos = a1 > 0.0
+    h = jnp.where(a1_pos, a1, 0.0).astype(dot_dtype)
+    a2 = _conv3(h, w2_ref, dot_dtype) + b2_ref[0]       # (T, E) f32
+    keep = None
+    if rate > 0.0:
+        keep = _keep_mask(seed, 0, 0, a2.shape, _dropout_threshold(rate))
+        a2 = jnp.where(keep, a2 / (1.0 - rate), 0.0)
+    return h, a1_pos, keep, a2 + x
+
+
+def _ln_stats(r):
+    mean = jnp.mean(r, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(r - mean), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + _EPS)
+    return (r - mean) * inv, inv
+
+
+def _fwd_kernel(seeds_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                ln_s_ref, ln_b_ref, film_ref, o_ref, *, dot_dtype, rate):
+    b = pl.program_id(0)
+    seed = seeds_ref[b]
+    x = x_ref[0]
+    E = x.shape[1]
+    _, _, _, r = _forward_core(x, w1_ref, b1_ref, w2_ref, b2_ref, seed,
+                               rate, dot_dtype)
+    n, _ = _ln_stats(r)
+    y = n * ln_s_ref[0] + ln_b_ref[0]
+    gammas = film_ref[0, :1, :E]
+    betas = film_ref[0, :1, E:]
+    o_ref[0] = gammas * y + betas
+
+
+def _bwd_kernel(seeds_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                ln_s_ref, ln_b_ref, film_ref, g_ref,
+                dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dls_ref,
+                dlb_ref, dfilm_ref, *, dot_dtype, rate):
+    b = pl.program_id(0)
+    seed = seeds_ref[b]
+    x = x_ref[0]
+    E = x.shape[1]
+    g = g_ref[0]                                        # (T, E) f32
+
+    h, a1_pos, keep, r = _forward_core(x, w1_ref, b1_ref, w2_ref, b2_ref,
+                                       seed, rate, dot_dtype)
+    n, inv = _ln_stats(r)
+    y_ln = n * ln_s_ref[0] + ln_b_ref[0]
+
+    gammas = film_ref[0, :1, :E]
+    # film grads (per row): d(out)/d(gamma) = y_ln, d(out)/d(beta) = 1
+    dfilm_ref[0, 0, :E] = jnp.sum(g * y_ln, axis=0)
+    dfilm_ref[0, 0, E:] = jnp.sum(g, axis=0)
+    dy = g * gammas                                     # (T, E)
+
+    @pl.when(b == 0)
+    def _():
+        dls_ref[0] = jnp.zeros_like(dls_ref[0])
+        dlb_ref[0] = jnp.zeros_like(dlb_ref[0])
+        db1_ref[0] = jnp.zeros_like(db1_ref[0])
+        db2_ref[0] = jnp.zeros_like(db2_ref[0])
+        dw1_ref[...] = jnp.zeros_like(dw1_ref[...])
+        dw2_ref[...] = jnp.zeros_like(dw2_ref[...])
+
+    dls_ref[0] += jnp.sum(dy * n, axis=0)
+    dlb_ref[0] += jnp.sum(dy, axis=0)
+
+    # LayerNorm backward (per row over E)
+    dn = dy * ln_s_ref[0]
+    dr = (dn - jnp.mean(dn, axis=-1, keepdims=True)
+          - n * jnp.mean(dn * n, axis=-1, keepdims=True)) * inv
+
+    da2 = dr
+    if rate > 0.0:
+        da2 = jnp.where(keep, dr / (1.0 - rate), 0.0)
+    db2_ref[0] += jnp.sum(da2, axis=0)
+    da2c = da2.astype(dot_dtype)
+
+    # dw2[d] = shift_d(h)^T @ da2
+    for d, hs in enumerate(_shifts(h)):
+        dw2_ref[d] += jax.lax.dot_general(
+            hs, da2c, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    dh = _conv3_t(da2c, w2_ref, dot_dtype)              # (T, C)
+    da1 = jnp.where(a1_pos, dh, 0.0)
+    db1_ref[0] += jnp.sum(da1, axis=0)
+    da1c = da1.astype(dot_dtype)
+
+    xc = x.astype(dot_dtype)
+    for d, xs in enumerate(_shifts(xc)):
+        dw1_ref[d] += jax.lax.dot_general(
+            xs, da1c, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    dx_ref[0] = dr + _conv3_t(da1c, w1_ref, dot_dtype)
+
+
+def _specs_fwd(B, T, E, C):
+    def const(shape):
+        return pl.BlockSpec(shape, lambda b, seeds: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+    return [
+        pl.BlockSpec((1, T, E), lambda b, seeds: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        const((3, E, C)), const((1, C)), const((3, C, E)), const((1, E)),
+        const((1, E)), const((1, E)),
+        pl.BlockSpec((1, 1, 2 * E), lambda b, seeds: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("rate", "dot_dtype", "interpret"))
+def _fwd_call(x, w1, b1, w2, b2, ln_s, ln_b, film, seeds, rate,
+              dot_dtype=jnp.bfloat16, interpret=False):
+    B, T, E = x.shape
+    C = w1.shape[-1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(B,),
+        in_specs=_specs_fwd(B, T, E, C),
+        out_specs=pl.BlockSpec((1, T, E), lambda b, seeds: (b, 0, 0),
+                               memory_space=pltpu.VMEM))
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, dot_dtype=dot_dtype, rate=rate),
+        out_shape=jax.ShapeDtypeStruct((B, T, E), jnp.float32),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 6 * B * T * E * C,
+            bytes_accessed=2 * B * T * E * 4 + 6 * E * C * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(seeds, x, w1, b1, w2, b2, ln_s, ln_b, film)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("rate", "dot_dtype", "interpret"))
+def _bwd_call(x, w1, b1, w2, b2, ln_s, ln_b, film, seeds, g, rate,
+              dot_dtype=jnp.bfloat16, interpret=False):
+    B, T, E = x.shape
+    C = w1.shape[-1]
+
+    def const_out(shape):
+        return pl.BlockSpec(shape, lambda b, seeds: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(B,),
+        in_specs=_specs_fwd(B, T, E, C) + [
+            pl.BlockSpec((1, T, E), lambda b, seeds: (b, 0, 0),
+                         memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((1, T, E), lambda b, seeds: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const_out((3, E, C)), const_out((1, C)),
+            const_out((3, C, E)), const_out((1, E)),
+            const_out((1, E)), const_out((1, E)),
+            pl.BlockSpec((1, 1, 2 * E), lambda b, seeds: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ))
+    shapes = (
+        jax.ShapeDtypeStruct((B, T, E), jnp.float32),
+        jax.ShapeDtypeStruct((3, E, C), jnp.float32),
+        jax.ShapeDtypeStruct((1, C), jnp.float32),
+        jax.ShapeDtypeStruct((3, C, E), jnp.float32),
+        jax.ShapeDtypeStruct((1, E), jnp.float32),
+        jax.ShapeDtypeStruct((1, E), jnp.float32),
+        jax.ShapeDtypeStruct((1, E), jnp.float32),
+        jax.ShapeDtypeStruct((B, 1, 2 * E), jnp.float32),
+    )
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, dot_dtype=dot_dtype, rate=rate),
+        out_shape=shapes,
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * 6 * B * T * E * C,
+            bytes_accessed=4 * B * T * E * 4 + 2 * 6 * E * C * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(seeds, x, w1, b1, w2, b2, ln_s, ln_b, film, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+def conv_ff_train(x, w1, b1, w2, b2, ln_s, ln_b, film, seeds, rate,
+                  dot_dtype=jnp.bfloat16, interpret=False):
+    """film * LN(dropout(conv2(relu(conv1(x)))) + x) + film_beta.
+
+    :param x: (B, T, E) float32
+    :param w1/b1/w2/b2: k=3 conv params ((3, E, C) / (1, C) layouts)
+    :param ln_s/ln_b: (1, E) LayerNorm params
+    :param film: (B, 1, 2E) [gammas | betas]
+    :param seeds: (B,) int32 dropout seeds (ignored at rate 0)
+    :param rate: static conv dropout rate
+    :return: (B, T, E) float32
+    """
+    return _fwd_call(x, w1, b1, w2, b2, ln_s, ln_b, film, seeds, rate,
+                     dot_dtype=dot_dtype, interpret=interpret)
+
+
+def _cft_fwd(x, w1, b1, w2, b2, ln_s, ln_b, film, seeds, rate, dot_dtype,
+             interpret):
+    out = _fwd_call(x, w1, b1, w2, b2, ln_s, ln_b, film, seeds, rate,
+                    dot_dtype=dot_dtype, interpret=interpret)
+    return out, (x, w1, b1, w2, b2, ln_s, ln_b, film, seeds)
+
+
+def _cft_bwd(rate, dot_dtype, interpret, res, g):
+    x, w1, b1, w2, b2, ln_s, ln_b, film, seeds = res
+    dx, dw1, db1, dw2, db2, dls, dlb, dfilm = _bwd_call(
+        x, w1, b1, w2, b2, ln_s, ln_b, film, seeds,
+        g.astype(jnp.float32), rate, dot_dtype=dot_dtype,
+        interpret=interpret)
+    return (dx.astype(x.dtype), dw1.astype(w1.dtype), db1.astype(b1.dtype),
+            dw2.astype(w2.dtype), db2.astype(b2.dtype),
+            dls.astype(ln_s.dtype), dlb.astype(ln_b.dtype),
+            dfilm.astype(film.dtype), None)
+
+
+conv_ff_train.defvjp(_cft_fwd, _cft_bwd)
+
+
+def use_train_conv_ff(t: int, e: int, c: int, kernel: int) -> bool:
+    """TPU backend, k=3, lane-aligned dims, bucketed T <= 1024 (VMEM)."""
+    if os.environ.get("DAFT_DISABLE_TRAIN_FF", "") == "1":
+        return False
+    return (jax.default_backend() == "tpu" and kernel == 3
+            and t % 8 == 0 and 128 <= t <= 1024 and e % 128 == 0
+            and c % 128 == 0)

@@ -1,0 +1,109 @@
+"""Custom-VJP fused conv feed-forward vs XLA autodiff.
+
+Interpreter mode on the forced CPU backend. With dropout off, the
+recompute backward must match jax.grad of the staged XLA
+modules.conv_ff_apply for every input: x, conv weights/biases,
+LayerNorm params, and FiLM. With dropout on, fwd/bwd mask agreement is
+checked by fixed-seed directional finite differences in v-linear
+arguments.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from daft_exprt_tpu.models import modules as nn
+from daft_exprt_tpu.ops.conv_ff_train import conv_ff_train
+
+
+def _pack(params, film, B):
+    return (params["conv1"]["w"], params["conv1"]["b"].reshape(1, -1),
+            params["conv2"]["w"], params["conv2"]["b"].reshape(1, -1),
+            params["ln"]["scale"].reshape(1, -1),
+            params["ln"]["bias"].reshape(1, -1), film[:, None, :])
+
+
+@pytest.mark.parametrize("with_film", [True, False])
+def test_grads_match_autodiff(rng_np, with_film):
+    B, T, E, C = 2, 128, 128, 256
+    params = nn.conv_ff_init(jax.random.PRNGKey(0), E, C, 3)
+    x = jnp.asarray(rng_np.standard_normal((B, T, E)), jnp.float32)
+    if with_film:
+        film = jnp.asarray(rng_np.standard_normal((B, 2 * E)),
+                           jnp.float32)
+    else:
+        film = jnp.concatenate([jnp.ones((B, E)), jnp.zeros((B, E))],
+                               axis=1).astype(jnp.float32)
+    seeds = jnp.zeros((B,), jnp.int32)
+    g = jnp.asarray(rng_np.standard_normal((B, T, E)), jnp.float32)
+
+    def loss_fused(x, w1, b1, w2, b2, ls, lb, fi):
+        out = conv_ff_train(x, w1, b1, w2, b2, ls, lb, fi, seeds, 0.0,
+                            jnp.float32, True)
+        return jnp.sum(out * g)
+
+    def loss_ref(x, w1, b1, w2, b2, ls, lb, fi):
+        p = {"conv1": {"w": w1, "b": b1[0]},
+             "conv2": {"w": w2, "b": b2[0]},
+             "ln": {"scale": ls[0], "bias": lb[0]}}
+        out = nn.conv_ff_apply(p, x, fi[:, 0, :], conv_dropout=0.0,
+                               rng=jax.random.PRNGKey(1),
+                               deterministic=True)
+        return jnp.sum(out * g)
+
+    args = (x,) + _pack(params, film, B)
+    out_f = conv_ff_train(*args, seeds, 0.0, jnp.float32, True)
+    p_ref = {"conv1": params["conv1"], "conv2": params["conv2"],
+             "ln": params["ln"]}
+    out_r = nn.conv_ff_apply(p_ref, x, film, conv_dropout=0.0,
+                             rng=jax.random.PRNGKey(1),
+                             deterministic=True)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                               rtol=2e-4, atol=2e-4)
+
+    got = jax.grad(loss_fused, argnums=tuple(range(8)))(*args)
+    want = jax.grad(loss_ref, argnums=tuple(range(8)))(*args)
+    names = ("x", "w1", "b1", "w2", "b2", "ln_s", "ln_b", "film")
+    for name, a, b in zip(names, got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-4, err_msg=name)
+
+
+def test_dropout_grads_finite_difference(rng_np):
+    """fwd/bwd masks agree: FD in w2 (output is linear in w2 for a
+    fixed mask) matches the VJP with dropout active."""
+    B, T, E, C = 1, 128, 128, 256
+    rate = 0.25
+    params = nn.conv_ff_init(jax.random.PRNGKey(0), E, C, 3)
+    x = jnp.asarray(rng_np.standard_normal((B, T, E)), jnp.float32)
+    film = jnp.concatenate([jnp.ones((B, E)), jnp.zeros((B, E))],
+                           axis=1).astype(jnp.float32)
+    seeds = jnp.asarray([4242], jnp.int32)
+    g = jnp.asarray(rng_np.standard_normal((B, T, E)), jnp.float32)
+    w1, b1, w2, b2, ls, lb, fi = _pack(params, film, B)
+
+    def loss(b2):
+        out = conv_ff_train(x, w1, b1, w2, b2, ls, lb, fi, seeds, rate,
+                            jnp.float32, True)
+        return jnp.sum(out * g)
+
+    db2 = jax.grad(loss)(b2)
+    direction = jnp.asarray(rng_np.standard_normal(b2.shape), jnp.float32)
+    eps = 1e-3
+    fd = (loss(b2 + eps * direction) - loss(b2 - eps * direction)) \
+        / (2 * eps)
+    analytic = jnp.sum(db2 * direction)
+    np.testing.assert_allclose(float(fd), float(analytic), rtol=2e-2)
+
+    # same seed -> same output; different seed -> different
+    o1 = conv_ff_train(x, w1, b1, w2, b2, ls, lb, fi, seeds, rate,
+                       jnp.float32, True)
+    o2 = conv_ff_train(x, w1, b1, w2, b2, ls, lb, fi, seeds, rate,
+                       jnp.float32, True)
+    o3 = conv_ff_train(x, w1, b1, w2, b2, ls, lb, fi, seeds + 1, rate,
+                       jnp.float32, True)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    assert np.abs(np.asarray(o1) - np.asarray(o3)).max() > 0

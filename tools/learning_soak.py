@@ -35,12 +35,28 @@ logging.basicConfig(level=logging.WARNING)
 root = "/tmp/daft_exprt_learning_soak"
 import shutil; shutil.rmtree(root, ignore_errors=True); os.makedirs(root)
 rng = np.random.default_rng(0)
+# Dims must qualify for the Pallas TRAINING kernels (E % 128 == 0,
+# C % 128 == 0, T >= 128): a tiny-E model would silently fall back to
+# XLA autodiff and the soak would not validate the custom gradients.
 hp = tiny_hparams(
     output_directory=os.path.join(root, "exp"),
     training_files=os.path.join(root, "exp", "train.txt"),
     validation_files=os.path.join(root, "exp", "val.txt"),
     speakers=["spk_a", "spk_b"],
     compute_dtype="bfloat16",
+    prosody_encoder={"nb_blocks": 2, "hidden_embed_dim": 128,
+                     "attn_nb_heads": 8, "attn_dropout": 0.1,
+                     "conv_kernel": 3, "conv_channels": 1024,
+                     "conv_dropout": 0.1},
+    phoneme_encoder={"nb_blocks": 2, "hidden_embed_dim": 128,
+                     "attn_nb_heads": 2, "attn_dropout": 0.1,
+                     "conv_kernel": 3, "conv_channels": 1024,
+                     "conv_dropout": 0.1},
+    local_prosody_predictor={"nb_blocks": 1, "conv_kernel": 3,
+                             "conv_channels": 256, "conv_dropout": 0.1},
+    frame_decoder={"nb_blocks": 2, "attn_nb_heads": 2,
+                   "attn_dropout": 0.1, "conv_kernel": 3,
+                   "conv_channels": 1024, "conv_dropout": 0.1},
 )
 dataset_dir, features_dir = _build_corpus(root, hp.speakers, rng)
 for spk in hp.speakers:
