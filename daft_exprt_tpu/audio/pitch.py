@@ -161,11 +161,21 @@ def sample_synchronous_f0(wav: np.ndarray, fs: int, hparams) -> np.ndarray:
     f0, starts = track_pitch(
         wav, fs, frame_interval=hparams.f0_interval, min_f0=hparams.min_f0,
         max_f0=hparams.max_f0, uv_cost=hparams.uv_cost)
-    track = np.zeros(len(wav), np.int16)
+    return _hold_to_samples(f0, starts, len(wav))
+
+
+def _hold_to_samples(f0: np.ndarray, starts: np.ndarray,
+                     n_samples: int) -> np.ndarray:
+    """Frame F0 -> per-sample int16 track (REAPER output contract).
+
+    Shared by the host path and the device-batched path so the hold /
+    quantization semantics cannot drift apart.
+    """
+    track = np.zeros(n_samples, np.int16)
     if len(starts) == 0:
         return track
     # hold each frame's value until the next frame start
-    bounds = np.append(starts, len(wav))
+    bounds = np.append(starts, n_samples)
     for i in range(len(starts)):
         track[bounds[i]:bounds[i + 1]] = np.int16(round(f0[i]))
     # samples before the first analysis frame share its value
@@ -263,18 +273,14 @@ def extract_pitch_from_frame_f0(f0: np.ndarray, starts: np.ndarray,
     the extra padded-row frames are forced-unvoiced and must NOT
     override the tail hold), then the identical sample-synchronous
     hold + int16 quantization + log/downsample chain as
-    :func:`extract_pitch` is applied, so the device-batched path is
-    frame-for-frame identical to the host path.
+    :func:`extract_pitch` is applied. Validated byte-identical to the
+    host path on test corpora; in principle the f32 device NCCF vs the
+    f64 host NCCF can disagree on near-tied candidates, so keep a
+    corpus's incremental preprocessing runs on ONE tracker.
     """
     max_lag = int(np.ceil(fs / hparams.min_f0))
     keep = starts <= wav_len - 2 * max_lag
-    f0 = np.asarray(f0)[keep]
-    starts = np.asarray(starts)[keep]
-    track = np.zeros(wav_len, np.int16)
-    if len(starts):
-        bounds = np.append(starts, wav_len)
-        for i in range(len(starts)):
-            track[bounds[i]:bounds[i + 1]] = np.int16(round(f0[i]))
-        track[:bounds[0]] = np.int16(round(f0[0]))
+    track = _hold_to_samples(np.asarray(f0)[keep],
+                             np.asarray(starts)[keep], wav_len)
     return log_f0_per_mel_frame(track.astype(np.float64),
                                 hparams.hop_length)

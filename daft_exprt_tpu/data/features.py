@@ -382,10 +382,16 @@ def _pitch_batched(items: list, hparams):
 
     fs = hparams.sampling_rate
     lens = np.array([len(x["wav"]) for x in items])
-    S = int(((lens.max() + 1023) // 1024) * 1024)
-    batch = np.zeros((len(items), S), np.float32)
+    # coarse buckets (like _mel_energy_batched): nccf/viterbi jits are
+    # shape-specialized, so fine-grained padding would recompile per
+    # chunk on a real corpus
+    bucket = hparams.hop_length * 128
+    S = int(((lens.max() + bucket - 1) // bucket) * bucket)
+    B = int(2 ** np.ceil(np.log2(max(len(items), 1))))
+    batch = np.zeros((B, S), np.float32)
     for i, x in enumerate(items):
         batch[i, :lens[i]] = x["wav"]
+    lens = np.concatenate([lens, np.zeros(B - len(items), np.int64)])
     f0, starts = track_pitch_batch(
         batch, lens, fs, frame_interval=hparams.f0_interval,
         min_f0=hparams.min_f0, max_f0=hparams.max_f0,
@@ -410,9 +416,14 @@ def extract_features(dataset_dir: str, features_dir: str, hparams,
     Host pool (numpy) prepares wavs/markers (and, by default, F0);
     mel+energy run as bucketed batched device kernels in the main
     process. With ``device_pitch``, F0 tracking also runs as the
-    batched JAX NCCF+Viterbi kernel on device (frame-for-frame
-    identical to the host tracker), leaving the pool workers pure I/O.
+    batched JAX NCCF+Viterbi kernel on device, leaving the pool workers
+    pure I/O. Validated byte-identical to the host tracker on test
+    corpora, but the device NCCF runs f32 vs the host's f64 --
+    extraction is incremental, so keep a corpus's runs on ONE tracker.
     """
+    if device_pitch:
+        _logger.info("device_pitch: F0 via the batched JAX tracker -- "
+                     "keep incremental runs of a corpus on one tracker")
     for speaker in hparams.speakers:
         _logger.info(f'Speaker: "{speaker}"')
         wavs_dir = os.path.join(dataset_dir, speaker, "wavs")

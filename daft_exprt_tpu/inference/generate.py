@@ -365,7 +365,7 @@ def generate_mel_specs(engine: InferenceEngine, sentences, file_names,
         names = [f"{file_names[i]}_spk_{speaker_ids[i]}_ref_"
                  f"{os.path.basename(refs[i]).replace('.npz', '')}"
                  for i in chunk]
-        inputs, B = collate_inference_batch(
+        inputs, _ = collate_inference_batch(
             [sentences[i] for i in chunk],
             [dur_factors[i] for i in chunk],
             [energy_factors[i] for i in chunk],

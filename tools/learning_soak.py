@@ -5,10 +5,11 @@ it with device-batched mel + F0 kernels, then trains the tiny model for
 2000 iterations on the attached accelerator through the complete custom
 stack (Pallas custom-VJP attention with in-kernel dropout,
 shifted-matmul conv gradients, rbg dropout keys, bf16 compute) and
-asserts the validation mel-L1 drops by >20%.
+asserts the validation mel-L1 halves from its UNTRAINED baseline.
 
-Measured on a v5e (2026-08-16): val loss 36.7 -> 0.46, mel L1
-4.66 -> 0.28, in ~260 s end to end. Run: python tools/learning_soak.py
+Measured on a v5e (2026-08-16): mel L1 untrained ~4.6 -> 0.26 by
+iteration 2000 (near-converged by 500), ~5 min end to end.
+Run: python tools/learning_soak.py
 """
 
 import os
@@ -78,8 +79,13 @@ class Probe(Trainer):
         return out
 
 trainer = Probe(hp, log_every=500)
+# untrained baseline so the convergence assert has real headroom
+params0, opt0 = trainer.init_state()
+_, val_loader = trainer.make_loaders()
+losses[0] = trainer.validate(params0, val_loader)
 t0 = time.time()
-params, opt = trainer.train(max_iterations=2000)
+params, opt = trainer.train(params=params0, opt_state=opt0,
+                            max_iterations=2000)
 dt = time.time() - t0
 print(f"2000 iterations in {dt:.0f}s ({2000/dt:.1f} it/s)")
 for it in sorted(losses):
@@ -87,6 +93,6 @@ for it in sorted(losses):
     print(f"  it {it}: val loss {m['loss']:.4f} mel_l1 {m['mel_spec_l1_loss']:.4f} "
           f"dur {m['duration_loss']:.4f} pitch {m['pitch_loss']:.4f}")
 first, last = min(losses), max(losses)
-assert losses[last]["mel_spec_l1_loss"] < losses[first]["mel_spec_l1_loss"] * 0.8, "mel loss must drop"
+assert losses[last]["mel_spec_l1_loss"] < losses[first]["mel_spec_l1_loss"] * 0.5, "mel loss must halve"
 print("LEARNING OK: mel L1 dropped",
       f"{losses[first]['mel_spec_l1_loss']:.3f} -> {losses[last]['mel_spec_l1_loss']:.3f}")
