@@ -91,3 +91,61 @@ def test_synthesize_cli(converted_ckpt, monkeypatch):
     assert os.path.isfile(pairs)
     with open(pairs) as f:
         assert len([line for line in f if line.strip()]) == 3
+
+
+def test_synthesize_cli_with_vocoder(converted_ckpt):
+    """--vocoder path: mel -> waveform through a converted torch
+    HiFi-GAN checkpoint (time-blocked layout), hop-matched rates."""
+    import synthesize as syn
+    import torch
+    from test_vocoder import TorchGenerator
+
+    root, ckpt_dir, hp = converted_ckpt
+    voc_cfg = {
+        "resblock": "1",
+        "upsample_rates": [8, 8, 2, 2],  # prod == hop_length
+        "upsample_kernel_sizes": [16, 16, 4, 4],
+        "upsample_initial_channel": 32,
+        "resblock_kernel_sizes": [3],
+        "resblock_dilation_sizes": [[1, 3]],
+        "num_mels": hp.n_mel_channels,
+    }
+    torch.manual_seed(0)
+    tmodel = TorchGenerator(voc_cfg).eval()
+    voc_ckpt = str(root / "g_tiny.pt")
+    torch.save({"generator": tmodel.state_dict()}, voc_ckpt)
+    voc_cfg_path = str(root / "voc_config.json")
+    with open(voc_cfg_path, "w") as f:
+        json.dump(voc_cfg, f)
+
+    out_dir = str(root / "out_voc")
+    args = syn.main.__globals__["argparse"].Namespace(
+        checkpoint=ckpt_dir, text_file=None,
+        style_bank=str(root / "style_bank"), output_dir=out_dir,
+        batch_size=2, real_time_factor=False, control=False,
+        no_griffin_lim=True, vocoder=voc_ckpt,
+        vocoder_config=voc_cfg_path, data_parallel=False)
+    sent = str(root / "sentences_voc.txt")
+    with open(sent, "w") as f:
+        f.write("{HH AH0 L OW1} {W ER1 L D}\n")
+    args.text_file = sent
+    # style bank may not exist if the first test didn't run
+    from daft_exprt_tpu.audio.io import save_wav
+    style_dir = str(root / "style_bank")
+    os.makedirs(style_dir, exist_ok=True)
+    if not os.listdir(style_dir):
+        t = np.arange(int(1.5 * hp.sampling_rate)) / hp.sampling_rate
+        phase = 2 * np.pi * np.cumsum(
+            170 + 20 * np.sin(2 * np.pi * t)) / hp.sampling_rate
+        save_wav(os.path.join(style_dir, "ref.wav"),
+                 (0.5 * np.sin(phase)).astype(np.float32),
+                 hp.sampling_rate)
+    syn.synthesize(args)
+
+    from daft_exprt_tpu.audio.io import load_wav
+    wavs = [x for x in os.listdir(out_dir) if x.endswith(".wav")]
+    assert wavs, os.listdir(out_dir)
+    for x in wavs:
+        wav, sr = load_wav(os.path.join(out_dir, x))
+        assert sr == hp.sampling_rate
+        assert len(wav) > 0 and np.isfinite(wav).all()

@@ -128,6 +128,48 @@ def test_vocode_mels_bucketing(rng_np):
     np.testing.assert_allclose(wavs[2], solo, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("cfg", [
+    TINY,
+    # v1-shaped: narrow late channels (64 -> 32 -> 16), blockable
+    # transposed convs (u=2 with r_in matching), kernels 3/7/11 with
+    # dilations 1/3/5 — exercises every blocked-expansion case.
+    {"upsample_rates": [2, 2, 2], "upsample_kernel_sizes": [4, 4, 4],
+     "upsample_initial_channel": 128,
+     "resblock_kernel_sizes": [3, 7, 11],
+     "resblock_dilation_sizes": [[1, 3, 5]] * 3, "num_mels": 16},
+])
+def test_blocked_layout_matches_plain(rng_np, cfg):
+    from daft_exprt_tpu.vocoder.hifigan import make_blocked_params
+    gen = HiFiGanGenerator(cfg)
+    params = gen.init_params(jax.random.PRNGKey(3))
+    plan, arrays = make_blocked_params(gen, params)
+    # at least one stage must actually run blocked for this test to
+    # exercise the expansion
+    assert any(s["res_blocked"] for s in plan["stages"])
+    B, T = 2, 24
+    mel = rng_np.standard_normal((B, cfg["num_mels"], T)).astype(
+        np.float32)
+    want = np.asarray(jax.jit(gen.apply)(params, mel))
+    got = np.asarray(jax.jit(
+        lambda a, m: gen.apply_blocked(plan, a, m))(arrays, mel))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_vocode_mels_blocked_matches_plain(rng_np):
+    from daft_exprt_tpu.vocoder.hifigan import vocode_mels
+    gen = HiFiGanGenerator(TINY)
+    params = gen.init_params(jax.random.PRNGKey(0))
+    mels = [rng_np.standard_normal((TINY["num_mels"], t)).astype(np.float32)
+            for t in (5, 17, 40)]
+    plain = vocode_mels(gen, params, mels, bucket=16, max_batch=2,
+                        blocked=False)
+    fast = vocode_mels(gen, params, mels, bucket=16, max_batch=2,
+                       blocked=True)
+    for a, b in zip(plain, fast):
+        np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-5)
+
+
 def test_generator_init_shapes():
     gen = HiFiGanGenerator(TINY)
     params = gen.init_params(jax.random.PRNGKey(0))

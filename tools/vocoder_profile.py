@@ -1,0 +1,103 @@
+"""Profile the HiFi-GAN generator per-stage on one chip.
+
+Times the full generator and each upsample stage separately (jitted in
+isolation) to locate where vocoding time goes, at serving shapes.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import jax
+
+os.makedirs("/tmp/daft_exprt_jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/daft_exprt_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from daft_exprt_tpu.vocoder.hifigan import (  # noqa: E402
+    HiFiGanGenerator, _conv, _conv_transpose, make_blocked_params)
+
+
+def timeit(fn, *args, iters=10):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters, out
+
+
+def main():
+    gen = HiFiGanGenerator()
+    params = gen.init_params(jax.random.PRNGKey(0))
+    dev = jax.devices()[0]
+    params = jax.device_put(params, dev)
+
+    B, T = 8, 256  # 8 x ~3 s of audio
+    mel = jax.device_put(
+        np.random.default_rng(0).standard_normal(
+            (B, 80, T)).astype(np.float32), dev)
+
+    plan, arrays = make_blocked_params(gen, params)
+    arrays = jax.device_put(arrays, dev)
+
+    for dtype in (jnp.float32, jnp.bfloat16):
+        full = jax.jit(lambda p, m: gen.apply(p, m, dtype=dtype))
+        t_full, wav = timeit(full, params, mel)
+        samples = wav.shape[0] * wav.shape[1]
+        rtf = samples / 22050 / t_full
+        print(f"[{dtype.__name__}] full: {t_full*1e3:.2f} ms  "
+              f"RTF {rtf:,.0f}x  ({samples/t_full/1e6:.1f} Msamples/s)")
+
+        fullb = jax.jit(lambda a, m: gen.apply_blocked(
+            plan, a, m, dtype=dtype))
+        t_b, wavb = timeit(fullb, arrays, mel)
+        rtf_b = samples / 22050 / t_b
+        diff = wavb - wav
+        snr = 10 * float(jnp.log10(
+            jnp.mean(wav * wav) / (jnp.mean(diff * diff) + 1e-20)))
+        print(f"[{dtype.__name__}] blocked: {t_b*1e3:.2f} ms  "
+              f"RTF {rtf_b:,.0f}x  (SNR vs plain {snr:.1f} dB)")
+
+        # per-stage
+        cfg = gen.cfg
+        x = jnp.swapaxes(mel, 1, 2)
+        pre = jax.jit(lambda p, x: _conv(p["conv_pre"], x, dtype=dtype))
+        t, x = timeit(pre, params, x)
+        print(f"  conv_pre {tuple(x.shape)}: {t*1e3:.2f} ms")
+        for i in range(gen.num_upsamples):
+            u = cfg["upsample_rates"][i]
+
+            def stage(p, x, i=i, u=u):
+                y = jax.nn.leaky_relu(x, 0.1)
+                y = _conv_transpose(p["ups"][i], y, u, dtype=dtype)
+                acc = None
+                for j in range(gen.num_kernels):
+                    r = gen._resblock(
+                        p["resblocks"][i * gen.num_kernels + j], y,
+                        cfg["resblock_kernel_sizes"][j],
+                        cfg["resblock_dilation_sizes"][j], dtype)
+                    acc = r if acc is None else acc + r
+                return acc / gen.num_kernels
+
+            t, x = timeit(jax.jit(stage), params, x)
+            print(f"  stage{i} u={u} {tuple(x.shape)}: {t*1e3:.2f} ms")
+        post = jax.jit(
+            lambda p, x: jnp.tanh(_conv(
+                p["conv_post"], jax.nn.leaky_relu(x, 0.1),
+                dtype=dtype))[..., 0])
+        t, wav = timeit(post, params, x)
+        print(f"  conv_post {tuple(wav.shape)}: {t*1e3:.2f} ms")
+
+
+if __name__ == "__main__":
+    main()
