@@ -10,8 +10,10 @@ decoder on the same chip, and external PyTorch HiFi-GAN checkpoints
 (including weight-normalized ones) convert directly.
 
 Architecture (v1 defaults): conv_pre(k7) -> [ConvTranspose upsample ->
-multi-receptive-field fusion (ResBlock1 x len(kernel_sizes), averaged)]
-per rate -> leaky_relu -> conv_post(k7) -> tanh. All convs channel-last;
+multi-receptive-field fusion (ResBlock x len(kernel_sizes), averaged)]
+per rate -> leaky_relu -> conv_post(k7) -> tanh. Both official resblock
+variants are supported: "1" (two convs per dilation; v1/v2 configs)
+and "2" (one conv per dilation; v3). All convs channel-last;
 transposed convs are expressed as lhs-dilated convolutions so XLA maps
 them onto the MXU.
 
@@ -37,6 +39,9 @@ V1_CONFIG = {
     "resblock_kernel_sizes": [3, 7, 11],
     "resblock_dilation_sizes": [[1, 3, 5], [1, 3, 5], [1, 3, 5]],
     "num_mels": 80,
+    # "1": ResBlock1 (two convs per dilation, official v1/v2);
+    # "2": ResBlock2 (one conv per dilation, official v3)
+    "resblock": "1",
 }
 
 
@@ -93,8 +98,11 @@ class HiFiGanGenerator:
         if config:
             self.cfg.update({k: v for k, v in config.items()
                              if k in V1_CONFIG})
+        self.cfg["resblock"] = str(self.cfg["resblock"])
+        assert self.cfg["resblock"] in ("1", "2"), self.cfg["resblock"]
         self.num_upsamples = len(self.cfg["upsample_rates"])
         self.num_kernels = len(self.cfg["resblock_kernel_sizes"])
+        self.two_convs = self.cfg["resblock"] == "1"
 
     # ------------------------------------------------------------------
     def init_params(self, rng):
@@ -112,12 +120,12 @@ class HiFiGanGenerator:
             ups.append(_conv_init(next(keys), k, cin, cout))
             for kr, dil in zip(cfg["resblock_kernel_sizes"],
                                cfg["resblock_dilation_sizes"]):
-                resblocks.append({
-                    "convs1": [_conv_init(next(keys), kr, cout, cout)
-                               for _ in dil],
-                    "convs2": [_conv_init(next(keys), kr, cout, cout)
-                               for _ in dil],
-                })
+                rb = {"convs1": [_conv_init(next(keys), kr, cout, cout)
+                                 for _ in dil]}
+                if self.two_convs:
+                    rb["convs2"] = [_conv_init(next(keys), kr, cout,
+                                               cout) for _ in dil]
+                resblocks.append(rb)
         params["ups"] = ups
         params["resblocks"] = resblocks
         params["conv_post"] = _conv_init(
@@ -129,8 +137,10 @@ class HiFiGanGenerator:
         for j, d in enumerate(dilations):
             xt = jax.nn.leaky_relu(x, LRELU_SLOPE)
             xt = _conv(params["convs1"][j], xt, dilation=d, dtype=dtype)
-            xt = jax.nn.leaky_relu(xt, LRELU_SLOPE)
-            xt = _conv(params["convs2"][j], xt, dilation=1, dtype=dtype)
+            if self.two_convs:
+                xt = jax.nn.leaky_relu(xt, LRELU_SLOPE)
+                xt = _conv(params["convs2"][j], xt, dilation=1,
+                           dtype=dtype)
             x = x + xt
         return x
 
@@ -159,14 +169,14 @@ class HiFiGanGenerator:
         return jnp.tanh(x)[..., 0]  # (B, samples)
 
     def _resblock_blocked(self, conv_sets, pad_sets, x, dtype, out):
-        for c1, p1, c2, p2 in zip(conv_sets["convs1"],
-                                  pad_sets["convs1"],
-                                  conv_sets["convs2"],
-                                  pad_sets["convs2"]):
+        for j in range(len(conv_sets["convs1"])):
             xt = jax.nn.leaky_relu(x, LRELU_SLOPE)
-            xt = _conv_b(c1, p1, xt, dtype, out)
-            xt = jax.nn.leaky_relu(xt, LRELU_SLOPE)
-            xt = _conv_b(c2, p2, xt, dtype, out)
+            xt = _conv_b(conv_sets["convs1"][j], pad_sets["convs1"][j],
+                         xt, dtype, out)
+            if self.two_convs:
+                xt = jax.nn.leaky_relu(xt, LRELU_SLOPE)
+                xt = _conv_b(conv_sets["convs2"][j],
+                             pad_sets["convs2"][j], xt, dtype, out)
             x = x + xt
         return x
 
@@ -347,10 +357,12 @@ def make_blocked_params(gen: "HiFiGanGenerator", params: dict):
                 rb = params["resblocks"][i * gen.num_kernels + j]
                 kr = cfg["resblock_kernel_sizes"][j]
                 dils = cfg["resblock_dilation_sizes"][j]
-                conv_a = {"convs1": [], "convs2": []}
-                conv_p = {"convs1": [], "convs2": []}
-                for which, dil_of in (("convs1", lambda d: d),
-                                      ("convs2", lambda d: 1)):
+                whichs = [("convs1", lambda d: d)]
+                if gen.two_convs:
+                    whichs.append(("convs2", lambda d: 1))
+                conv_a = {w: [] for w, _ in whichs}
+                conv_p = {w: [] for w, _ in whichs}
+                for which, dil_of in whichs:
                     for jj, d in enumerate(dils):
                         dd = dil_of(d)
                         w_b, pads = _blocked_conv_weight(
@@ -495,11 +507,6 @@ def load_torch_generator(checkpoint_path: str, config_path: str = None):
     if config_path:
         with open(config_path) as f:
             config = json.load(f)
-        if str(config.get("resblock", "1")) != "1":
-            raise NotImplementedError(
-                "only ResBlock1-style generators (official v1/v2 "
-                "configs with \"resblock\": \"1\") are supported; got "
-                f"resblock={config['resblock']!r}")
     gen = HiFiGanGenerator(config)
 
     params = {"conv_pre": _to_conv(state, "conv_pre"),
@@ -511,11 +518,12 @@ def load_torch_generator(checkpoint_path: str, config_path: str = None):
     for i in range(gen.num_upsamples * gen.num_kernels):
         n_dil = len(gen.cfg["resblock_dilation_sizes"][
             i % gen.num_kernels])
-        resblocks.append({
-            "convs1": [_to_conv(state, f"resblocks.{i}.convs1.{j}")
-                       for j in range(n_dil)],
-            "convs2": [_to_conv(state, f"resblocks.{i}.convs2.{j}")
-                       for j in range(n_dil)],
-        })
+        rb = {"convs1": [_to_conv(state, f"resblocks.{i}.convs1.{j}")
+                         for j in range(n_dil)]}
+        if gen.two_convs:
+            rb["convs2"] = [
+                _to_conv(state, f"resblocks.{i}.convs2.{j}")
+                for j in range(n_dil)]
+        resblocks.append(rb)
     params["resblocks"] = resblocks
     return gen, params

@@ -32,18 +32,22 @@ LRELU = 0.1
 
 
 class TorchResBlock(nn.Module):
-    def __init__(self, ch, k, dilations):
+    def __init__(self, ch, k, dilations, two_convs=True):
         super().__init__()
+        self.two_convs = two_convs
         self.convs1 = nn.ModuleList([
             nn.Conv1d(ch, ch, k, 1, dilation=d,
                       padding=(k - 1) * d // 2) for d in dilations])
-        self.convs2 = nn.ModuleList([
-            nn.Conv1d(ch, ch, k, 1, dilation=1, padding=(k - 1) // 2)
-            for _ in dilations])
+        if two_convs:
+            self.convs2 = nn.ModuleList([
+                nn.Conv1d(ch, ch, k, 1, dilation=1,
+                          padding=(k - 1) // 2) for _ in dilations])
 
     def forward(self, x):
-        for c1, c2 in zip(self.convs1, self.convs2):
-            xt = c2(F.leaky_relu(c1(F.leaky_relu(x, LRELU)), LRELU))
+        for j, c1 in enumerate(self.convs1):
+            xt = c1(F.leaky_relu(x, LRELU))
+            if self.two_convs:
+                xt = self.convs2[j](F.leaky_relu(xt, LRELU))
             x = x + xt
         return x
 
@@ -52,6 +56,7 @@ class TorchGenerator(nn.Module):
     def __init__(self, cfg, weight_norm=False):
         super().__init__()
         ch0 = cfg["upsample_initial_channel"]
+        two = str(cfg.get("resblock", "1")) == "1"
         self.num_kernels = len(cfg["resblock_kernel_sizes"])
         self.conv_pre = nn.Conv1d(cfg["num_mels"], ch0, 7, 1, padding=3)
         self.ups = nn.ModuleList()
@@ -63,7 +68,8 @@ class TorchGenerator(nn.Module):
                                                padding=(k - u) // 2))
             for kr, dil in zip(cfg["resblock_kernel_sizes"],
                                cfg["resblock_dilation_sizes"]):
-                self.resblocks.append(TorchResBlock(cout, kr, dil))
+                self.resblocks.append(TorchResBlock(cout, kr, dil,
+                                                    two_convs=two))
         self.conv_post = nn.Conv1d(ch0 // (2 ** len(self.ups)), 1, 7, 1,
                                    padding=3)
         if weight_norm:
@@ -73,7 +79,9 @@ class TorchGenerator(nn.Module):
             self.ups = nn.ModuleList([wn(m) for m in self.ups])
             for rb in self.resblocks:
                 rb.convs1 = nn.ModuleList([wn(m) for m in rb.convs1])
-                rb.convs2 = nn.ModuleList([wn(m) for m in rb.convs2])
+                if rb.two_convs:
+                    rb.convs2 = nn.ModuleList(
+                        [wn(m) for m in rb.convs2])
 
     def forward(self, x):
         x = self.conv_pre(x)
@@ -88,8 +96,15 @@ class TorchGenerator(nn.Module):
         return torch.tanh(x)
 
 
+TINY_V3 = dict(TINY, resblock="2",
+               resblock_dilation_sizes=[[1, 2], [2, 6]])
+
+
 @pytest.mark.parametrize("weight_norm", [False, True])
-def test_generator_matches_torch(tmp_path, rng_np, weight_norm):
+@pytest.mark.parametrize("cfg", [TINY, TINY_V3],
+                         ids=["resblock1", "resblock2"])
+def test_generator_matches_torch(tmp_path, rng_np, weight_norm, cfg):
+    TINY = cfg  # noqa: N806 — shadow for the body below
     torch.manual_seed(0)
     tmodel = TorchGenerator(TINY, weight_norm=weight_norm).eval()
 
@@ -137,6 +152,11 @@ def test_vocode_mels_bucketing(rng_np):
      "upsample_initial_channel": 128,
      "resblock_kernel_sizes": [3, 7, 11],
      "resblock_dilation_sizes": [[1, 3, 5]] * 3, "num_mels": 16},
+    # v3-style ResBlock2 (one conv per dilation)
+    {"upsample_rates": [2, 2], "upsample_kernel_sizes": [4, 4],
+     "upsample_initial_channel": 128, "resblock": "2",
+     "resblock_kernel_sizes": [3, 7],
+     "resblock_dilation_sizes": [[1, 2], [2, 6]], "num_mels": 16},
 ])
 def test_blocked_layout_matches_plain(rng_np, cfg):
     from daft_exprt_tpu.vocoder.hifigan import make_blocked_params
