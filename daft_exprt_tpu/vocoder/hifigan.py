@@ -181,14 +181,23 @@ class HiFiGanGenerator:
         return x
 
     def apply_blocked(self, plan: dict, arrays: dict, mel,
-                      dtype=jnp.float32):
+                      dtype=jnp.float32, mrf: str = "auto"):
         """Same mel -> waveform map as :meth:`apply`, but with the
         narrow-channel stages running in the time-blocked full-lane
         layout. ``(plan, arrays)`` come from ``make_blocked_params``;
         ``plan`` is static (close over it), ``arrays`` is traced.
         Bit-equivalent math up to float reassociation (56.7 dB SNR vs
         the plain f32 path at f32; 48.7 dB at bf16 compute).
+
+        :param mrf: "auto" runs eligible stages' resblock fans through
+          the fused Pallas MRF kernel on TPU (bf16 dots);
+          "interpret" forces the kernel in interpreter mode (tests);
+          "off" keeps the staged XLA convs.
         """
+        from daft_exprt_tpu.ops.mrf_vocoder import (fused_mrf,
+                                                    mrf_kernel_enabled)
+        use_mrf = mrf == "interpret" or (mrf == "auto"
+                                         and mrf_kernel_enabled())
         out = jnp.float32
         x = jnp.swapaxes(mel, 1, 2)
         x = _conv(arrays["conv_pre"], x, dtype=dtype, out=out)
@@ -205,6 +214,12 @@ class HiFiGanGenerator:
                 if r_out > 1:
                     x = _to_blocked(x, r_out)
             r = r_out
+            if use_mrf and "mrf" in sp:
+                spec, hl, hr = sp["mrf"]
+                x = fused_mrf(
+                    x, (spec, sa["mrf"]["w"], sa["mrf"]["b"], hl, hr),
+                    interpret=(mrf == "interpret"))
+                continue
             acc = None
             if sp["res_blocked"]:
                 for conv_sets, pad_sets in zip(sa["resblocks"],
@@ -380,6 +395,17 @@ def make_blocked_params(gen: "HiFiGanGenerator", params: dict):
             sa["resblocks"] = [
                 params["resblocks"][i * gen.num_kernels + j]
                 for j in range(gen.num_kernels)]
+        if c_out * r_out == 128:
+            # fused-MRF Pallas program (ops/mrf_vocoder.py): the whole
+            # resblock fan computed per tile, VMEM-resident
+            from daft_exprt_tpu.ops.mrf_vocoder import build_mrf_program
+            rbs = [params["resblocks"][i * gen.num_kernels + j]
+                   for j in range(gen.num_kernels)]
+            spec, w_all, b_all, hl, hr = build_mrf_program(
+                rbs, cfg["resblock_kernel_sizes"],
+                cfg["resblock_dilation_sizes"], gen.two_convs, r_out)
+            sp["mrf"] = (spec, hl, hr)
+            sa["mrf"] = {"w": w_all, "b": b_all}
         plan["stages"].append(sp)
         arrays["stages"].append(sa)
         r_prev = r_out

@@ -58,15 +58,17 @@ def main():
         print(f"[{dtype.__name__}] full: {t_full*1e3:.2f} ms  "
               f"RTF {rtf:,.0f}x  ({samples/t_full/1e6:.1f} Msamples/s)")
 
-        fullb = jax.jit(lambda a, m: gen.apply_blocked(
-            plan, a, m, dtype=dtype))
-        t_b, wavb = timeit(fullb, arrays, mel)
-        rtf_b = samples / 22050 / t_b
-        diff = wavb - wav
-        snr = 10 * float(jnp.log10(
-            jnp.mean(wav * wav) / (jnp.mean(diff * diff) + 1e-20)))
-        print(f"[{dtype.__name__}] blocked: {t_b*1e3:.2f} ms  "
-              f"RTF {rtf_b:,.0f}x  (SNR vs plain {snr:.1f} dB)")
+        for mrf in ("off", "auto"):
+            fullb = jax.jit(lambda a, m: gen.apply_blocked(
+                plan, a, m, dtype=dtype, mrf=mrf))
+            t_b, wavb = timeit(fullb, arrays, mel)
+            rtf_b = samples / 22050 / t_b
+            diff = wavb - wav
+            snr = 10 * float(jnp.log10(
+                jnp.mean(wav * wav) / (jnp.mean(diff * diff) + 1e-20)))
+            print(f"[{dtype.__name__}] blocked mrf={mrf}: "
+                  f"{t_b*1e3:.2f} ms  RTF {rtf_b:,.0f}x  "
+                  f"(SNR vs plain {snr:.1f} dB)")
 
         # per-stage
         cfg = gen.cfg
