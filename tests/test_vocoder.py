@@ -190,6 +190,26 @@ def test_vocode_mels_blocked_matches_plain(rng_np):
         np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-5)
 
 
+def test_vocode_mels_blocked_odd_lengths(rng_np):
+    """Bridged stages need T divisible by the block factor; vocode_mels
+    must round its padding bucket up so arbitrary lengths work
+    (regression: bucket=1 used to crash in _to_blocked)."""
+    from daft_exprt_tpu.vocoder.hifigan import vocode_mels
+    gen = HiFiGanGenerator(TINY)
+    params = gen.init_params(jax.random.PRNGKey(0))
+    mels = [rng_np.standard_normal((TINY["num_mels"], t)).astype(
+        np.float32) for t in (3, 5, 7)]
+    wavs = vocode_mels(gen, params, mels, bucket=1, max_batch=2,
+                       blocked=True)
+    for mel, wav in zip(mels, wavs):
+        assert wav.shape == (mel.shape[1] * 8,)
+        assert np.isfinite(wav).all()
+    # prepared vocoder is cached on the generator across calls
+    assert len(gen._vocode_cache) == 1
+    vocode_mels(gen, params, mels[:1], bucket=1, blocked=True)
+    assert len(gen._vocode_cache) == 1
+
+
 def test_generator_init_shapes():
     gen = HiFiGanGenerator(TINY)
     params = gen.init_params(jax.random.PRNGKey(0))

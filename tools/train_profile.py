@@ -1,0 +1,116 @@
+"""Profile one full-scale training step on the attached chip.
+
+Captures a jax.profiler trace of a few steady-state optimizer steps and
+aggregates device-time by op name, so regressions or new hotspots in
+the train step are visible without TensorBoard.
+"""
+
+from __future__ import annotations
+
+import collections
+import glob
+import gzip
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import jax
+
+os.makedirs("/tmp/daft_exprt_jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/daft_exprt_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from __graft_entry__ import _flagship_hparams  # noqa: E402
+from bench import _train_steps_per_sec  # noqa: E402
+from daft_exprt_tpu.models.daft_exprt import DaftExprt  # noqa: E402
+from daft_exprt_tpu.training.step import (make_optimizer,  # noqa: E402
+                                          make_train_step)
+
+
+def main():
+    hp = _flagship_hparams()
+    rate = _train_steps_per_sec(hp)
+    print(f"train_steps_per_sec: {rate:.2f}")
+
+    # trace a few steps
+    model = DaftExprt(hp)
+    params = model.init_params(jax.random.PRNGKey(0))
+    tx, _ = make_optimizer(hp)
+    opt_state = tx.init(params)
+    step = make_train_step(model, hp, mesh=None, donate=True)
+    accum, B, L, T = hp.accumulation_steps, hp.batch_size, 128, 768
+    rng = np.random.default_rng(0)
+    frame_dur = hp.hop_length / hp.sampling_rate
+    durs = np.full((accum, B, L), T // L, np.int32)
+    batch = {
+        "symbols": rng.integers(1, hp.n_symbols,
+                                size=(accum, B, L)).astype(np.int32),
+        "input_lengths": np.full((accum, B), L, np.int32),
+        "output_lengths": np.full((accum, B), T, np.int32),
+        "speaker_ids": rng.integers(0, len(hp.speakers),
+                                    size=(accum, B)).astype(np.int32),
+        "frames_energy": np.abs(rng.standard_normal(
+            (accum, B, T))).astype(np.float32),
+        "frames_pitch": rng.standard_normal(
+            (accum, B, T)).astype(np.float32),
+        "mel_specs": rng.standard_normal(
+            (accum, B, hp.n_mel_channels, T)).astype(np.float32),
+        "symbols_energy": rng.standard_normal(
+            (accum, B, L)).astype(np.float32),
+        "symbols_pitch": rng.standard_normal(
+            (accum, B, L)).astype(np.float32),
+        "durations_int": durs,
+        "durations_float": (durs * frame_dur).astype(np.float32),
+    }
+    batch = jax.device_put(batch, jax.devices()[0])
+    key = jax.random.key(0, impl=getattr(hp, "dropout_prng", "rbg"))
+    it = jnp.asarray(1, jnp.int32)
+    for _ in range(3):
+        params, opt_state, metrics = step(params, opt_state, batch, key, it)
+    jax.block_until_ready(metrics)
+
+    trace_dir = "/tmp/daft_train_trace"
+    os.system(f"rm -rf {trace_dir}")
+    jax.profiler.start_trace(trace_dir)
+    for _ in range(3):
+        params, opt_state, metrics = step(params, opt_state, batch, key, it)
+    jax.block_until_ready(metrics)
+    jax.profiler.stop_trace()
+    time.sleep(1)
+
+    files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
+    assert files, f"no trace produced under {trace_dir}"
+    with gzip.open(sorted(files)[-1], "rt") as f:
+        trace = json.load(f)
+    events = trace.get("traceEvents", [])
+    # find TPU device pids (processes whose name mentions TPU/device)
+    pid_names = {e["pid"]: e["args"].get("name", "")
+                 for e in events
+                 if e.get("ph") == "M" and e.get("name") == "process_name"
+                 and "args" in e}
+    tpu_pids = {p for p, n in pid_names.items()
+                if "TPU" in n or "/device" in n.lower()}
+    agg = collections.Counter()
+    total = 0.0
+    for e in events:
+        if e.get("ph") == "X" and e.get("pid") in tpu_pids:
+            name = e.get("name", "?")
+            dur = e.get("dur", 0) / 1e3  # ms
+            agg[name] += dur
+            total += dur
+    print(f"\ndevice time over 3 steps: {total:.2f} ms "
+          f"({total/3:.2f} ms/step)")
+    for name, ms in agg.most_common(25):
+        print(f"  {ms/3:8.3f} ms/step  {100*ms/max(total,1e-9):5.1f}%  "
+              f"{name[:90]}")
+
+
+if __name__ == "__main__":
+    main()
