@@ -144,6 +144,11 @@ class HyperParams:
         self.max_frames = 2048
         # Data-parallel mesh axis size; -1 means all visible devices.
         self.dp_size = -1
+        # Training batch assembly: "native" (inline + one prefetch
+        # thread) or "grain" (Grain multi-process workers); the epoch
+        # plan and batch contents are identical either way.
+        self.data_loader = "native"
+        self.data_workers = 4
 
         # -------- must be provided via kwargs --------
         self.training_files = None

@@ -211,44 +211,58 @@ class TrainLoader:
         per_proc = len(self._valid) // self.process_count
         return per_proc // (micro * accum)
 
-    def epoch(self, epoch_idx: int):
-        """Yield stacked batches for one epoch."""
+    def plan_epoch(self, epoch_idx: int) -> list:
+        """Deterministic per-epoch step plan: [(idxs, L, T), ...].
+
+        Shuffles, sorts within coarse chunks by frame length so each
+        micro-batch is length-homogeneous (less padding waste) while
+        preserving global shuffle, shards across processes, and
+        precomputes each step's common (L, T) buckets from the marker
+        lengths — no payload I/O.
+        """
         hp = self.hp
         micro, accum = hp.batch_size, hp.accumulation_steps
         rng = random.Random(hp.seed + epoch_idx)
         order = list(range(len(self._valid)))
         rng.shuffle(order)
-        # sort within coarse shuffled chunks by frame length so each
-        # micro-batch is length-homogeneous (less padding waste) while
-        # preserving global shuffle
         chunk = micro * accum * 16
         for s in range(0, len(order), chunk):
             order[s:s + chunk] = sorted(
                 order[s:s + chunk], key=lambda j: self._lengths[j][1])
-        # shard across processes
         order = order[self.process_index::self.process_count]
 
         step_size = micro * accum
-        n_steps = len(order) // step_size
-        for b in range(n_steps):
+        plan = []
+        for b in range(len(order) // step_size):
             idxs = order[b * step_size:(b + 1) * step_size]
-            # common step-wide buckets from the precomputed lengths so
-            # the stacked (accum, B, ...) arrays are rectangular --
-            # no trial collation pass needed
             L = bucket_size(max(self._lengths[j][0] for j in idxs),
                             hp.symbol_bucket, hp.max_symbols)
             T = bucket_size(max(self._lengths[j][1] for j in idxs),
                             hp.frame_bucket, hp.max_frames)
-            examples = [self.ds[self._valid[j]] for j in idxs]
-            micros = [collate(examples[m * micro:(m + 1) * micro], hp,
-                              pad_symbols=L, pad_frames=T)
-                      for m in range(accum)]
-            batch = {}
-            for k in micros[0]:
-                if k in ("feature_dirs", "feature_files"):
-                    continue
-                batch[k] = np.stack([m[k] for m in micros])
-            yield batch
+            plan.append((idxs, L, T))
+        return plan
+
+    def assemble(self, step) -> dict:
+        """Load + collate one planned step into a stacked (accum, B,
+        ...) batch dict (rectangular by construction)."""
+        hp = self.hp
+        micro, accum = hp.batch_size, hp.accumulation_steps
+        idxs, L, T = step
+        examples = [self.ds[self._valid[j]] for j in idxs]
+        micros = [collate(examples[m * micro:(m + 1) * micro], hp,
+                          pad_symbols=L, pad_frames=T)
+                  for m in range(accum)]
+        batch = {}
+        for k in micros[0]:
+            if k in ("feature_dirs", "feature_files"):
+                continue
+            batch[k] = np.stack([m[k] for m in micros])
+        return batch
+
+    def epoch(self, epoch_idx: int):
+        """Yield stacked batches for one epoch."""
+        for step in self.plan_epoch(epoch_idx):
+            yield self.assemble(step)
 
 
 class EvalLoader:

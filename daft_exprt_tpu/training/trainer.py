@@ -94,7 +94,11 @@ class Trainer:
         hp = self.hp
         train_ds = FeatureDataset(hp.training_files, hp)
         val_ds = FeatureDataset(hp.validation_files, hp, shuffle=False)
-        train_loader = TrainLoader(
+        loader_cls = TrainLoader
+        if getattr(hp, "data_loader", "native") == "grain":
+            from daft_exprt_tpu.data.grain_loader import GrainTrainLoader
+            loader_cls = GrainTrainLoader
+        train_loader = loader_cls(
             train_ds, hp, process_index=jax.process_index(),
             process_count=jax.process_count())
         if train_loader.n_dropped:

@@ -197,6 +197,25 @@ def test_full_pipeline(corpus):
     assert len(ev) >= 1
 
 
+def test_grain_loader_matches_native(corpus):
+    """GrainTrainLoader yields bit-identical batches to TrainLoader,
+    inline (worker_count=0) and with worker processes."""
+    root, hp, dataset_dir, features_dir = corpus
+    from daft_exprt_tpu.data.grain_loader import GrainTrainLoader
+    hp.batch_size, hp.accumulation_steps = 2, 2
+    ds = FeatureDataset(hp.training_files, hp)
+    native = TrainLoader(ds, hp)
+    for wc in (0, 2):
+        g = GrainTrainLoader(ds, hp, worker_count=wc)
+        nb = list(native.epoch(3))
+        gb = list(g.epoch(3))
+        assert len(gb) == len(nb) >= 1
+        for a, b in zip(nb, gb):
+            assert set(a) == set(b)
+            for k in a:
+                np.testing.assert_array_equal(a[k], np.asarray(b[k]))
+
+
 def test_trainer_end_to_end(corpus):
     """Two optimizer steps + checkpoint + resume on the tiny corpus."""
     import jax
