@@ -14,9 +14,8 @@ hot path; the torch-checkpoint converter in tools/ transposes):
 
 Behavioral parity targets are the reference modules in
 /root/reference/src/daft_exprt/model.py (LinearNorm :57, ConvNorm1D :75,
+ConvNorm2D :95 (dead code there — provided here for API completeness),
 MultiHeadAttention :153, PositionWiseConvFF :196, FFTBlock :240).
-The reference's ConvNorm2D (model.py:95-116) is defined but never used
-there and is intentionally not reimplemented.
 """
 
 from __future__ import annotations
@@ -133,6 +132,36 @@ def conv1d_apply(params, x, dtype=jnp.float32, out_dtype=jnp.float32,
             padding=[(pad, pad)],
             dimension_numbers=("NWC", "WIO", "NWC"),
         ).astype(jnp.float32)
+    if "b" in params:
+        y = y + params["b"]
+    return y.astype(out_dtype)
+
+
+def conv2d_init(rng, in_ch, out_ch, kernel, gain="linear", bias=True):
+    """2-D conv, xavier init — parity with the reference's ConvNorm2D
+    (model.py:95-116), which is defined there but never used; provided
+    so the module inventory is complete. w: (kh, kw, in, out)."""
+    kh, kw = (kernel, kernel) if isinstance(kernel, int) else kernel
+    k_w, k_b = jax.random.split(rng)
+    fan_in, fan_out = in_ch * kh * kw, out_ch * kh * kw
+    params = {"w": xavier_uniform(k_w, (kh, kw, in_ch, out_ch), fan_in,
+                                  fan_out, gain)}
+    if bias:
+        params["b"] = _bias_uniform(k_b, (out_ch,), fan_in)
+    return params
+
+
+def conv2d_apply(params, x, dtype=jnp.float32, out_dtype=jnp.float32):
+    """x: (B, H, W, in_ch) -> (B, H, W, out_ch), SAME zero padding,
+    stride 1 (channel-last, matching conv1d_apply's convention)."""
+    w = params["w"].astype(dtype)
+    kh, kw = w.shape[0], w.shape[1]
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), w,
+        window_strides=(1, 1),
+        padding=[((kh - 1) // 2, kh // 2), ((kw - 1) // 2, kw // 2)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ).astype(jnp.float32)
     if "b" in params:
         y = y + params["b"]
     return y.astype(out_dtype)

@@ -23,8 +23,14 @@ DATA_AXIS = "data"
 def initialize_distributed(coordinator_address=None, num_processes=None,
                            process_id=None):
     """Multi-host rendezvous over DCN (replaces the reference's TCP store
-    at tcp://localhost:54321, train.py:498)."""
-    if coordinator_address is not None:
+    at tcp://localhost:54321, train.py:498).
+
+    Pass ``"auto"`` on Cloud TPU runtimes whose environment metadata
+    lets JAX discover the coordinator itself.
+    """
+    if coordinator_address == "auto":
+        jax.distributed.initialize()
+    elif coordinator_address is not None:
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)

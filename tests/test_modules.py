@@ -42,6 +42,26 @@ def test_conv1d_matches_torch(rng_np):
                                atol=ATOL)
 
 
+def test_conv2d_matches_torch(rng_np):
+    # reference ConvNorm2D (model.py:95-116) is dead code there; ours
+    # mirrors torch Conv2d SAME semantics for API completeness
+    conv = torch.nn.Conv2d(4, 12, kernel_size=3, padding=1)
+    x = rng_np.standard_normal((2, 7, 9, 4)).astype(np.float32)
+    params = {
+        # torch (out, in, kh, kw) -> ours (kh, kw, in, out)
+        "w": jnp.asarray(
+            conv.weight.detach().numpy().transpose(2, 3, 1, 0)),
+        "b": jnp.asarray(conv.bias.detach().numpy()),
+    }
+    ours = np.asarray(nn.conv2d_apply(params, jnp.asarray(x)))
+    theirs = conv(torch.from_numpy(x).permute(0, 3, 1, 2)) \
+        .permute(0, 2, 3, 1).detach().numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=RTOL, atol=ATOL)
+    # init shapes
+    p = nn.conv2d_init(jax.random.PRNGKey(0), 4, 12, 3)
+    assert p["w"].shape == (3, 3, 4, 12) and p["b"].shape == (12,)
+
+
 def test_layer_norm_matches_torch(rng_np):
     ln = torch.nn.LayerNorm(32)
     with torch.no_grad():
