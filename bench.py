@@ -114,6 +114,32 @@ def _train_steps_per_sec(hp):
     return iters / (time.perf_counter() - t0)
 
 
+def _vocoder_rtf():
+    """On-chip HiFi-GAN v1 (blocked layout + MRF kernel), B=8 x 3 s."""
+    import jax.numpy as jnp
+
+    from daft_exprt_tpu.vocoder.hifigan import (HiFiGanGenerator,
+                                                make_blocked_params)
+
+    gen = HiFiGanGenerator()
+    params = gen.init_params(jax.random.PRNGKey(0))
+    plan, arrays = make_blocked_params(gen, params)
+    dev = jax.devices()[0]
+    arrays = jax.device_put(arrays, dev)
+    mel = jax.device_put(np.random.default_rng(0).standard_normal(
+        (8, 80, 256)).astype(np.float32), dev)
+    fn = jax.jit(lambda a, m: gen.apply_blocked(plan, a, m))
+    wav = fn(arrays, mel)
+    jax.block_until_ready(wav)
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        wav = fn(arrays, mel)
+    jax.block_until_ready(wav)
+    wall = time.perf_counter() - t0
+    return wav.size * iters / 22050 / wall
+
+
 def main():
     import jax.numpy as jnp
 
@@ -187,6 +213,7 @@ def main():
 
     p50_ms = _p50_utterance_latency_ms(model, hp, params)
     steps_per_sec = _train_steps_per_sec(hp)
+    rtf_vocoder = _vocoder_rtf()
 
     print(json.dumps({
         "metric": "batched_mel_synthesis_rtf",
@@ -196,6 +223,7 @@ def main():
         "detail": {
             "mel_frames_per_sec_per_chip": round(frames_per_sec, 1),
             "rtf_cached_style_bank": round(rtf_cached, 2),
+            "rtf_vocoder_hifigan": round(rtf_vocoder, 2),
             "p50_utterance_latency_ms": round(p50_ms, 3),
             "train_steps_per_sec": round(steps_per_sec, 3),
             "batch": B, "max_symbols": L, "max_frames": T,
