@@ -35,7 +35,19 @@ NORTH_STAR_RTF = 50.0
 
 
 def _p50_utterance_latency_ms(model, hp, params):
-    """Single-utterance (B=1) inference latency, median of 50 calls."""
+    """Single-utterance (B=1) inference latency.
+
+    Returns (p50_host_ms, device_ms): the host-observed median of 50
+    synchronous calls (includes the axon-tunnel RTT in this rig, so it
+    overstates a colocated server's latency ~20x) and the per-call
+    on-device time aggregated from a profiler trace (what a serving
+    replica colocated with the chip would see).
+    """
+    import collections
+    import glob
+    import gzip
+    import json as _json
+
     import jax.numpy as jnp
 
     B, L, T = 1, 64, 512
@@ -57,7 +69,39 @@ def _p50_utterance_latency_ms(model, hp, params):
         out = infer(params, inputs)
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
-    return float(np.median(times) * 1e3)
+    p50_host = float(np.median(times) * 1e3)
+
+    device_ms = float("nan")
+    try:
+        trace_dir = "/tmp/daft_bench_lat_trace"
+        os.system(f"rm -rf {trace_dir}")
+        n = 10
+        jax.profiler.start_trace(trace_dir)
+        for _ in range(n):
+            out = infer(params, inputs)
+        jax.block_until_ready(out)
+        jax.profiler.stop_trace()
+        files = glob.glob(f"{trace_dir}/**/*.trace.json.gz",
+                          recursive=True)
+        with gzip.open(sorted(files)[-1], "rt") as f:
+            events = _json.load(f).get("traceEvents", [])
+        pid_names = {e["pid"]: e["args"].get("name", "")
+                     for e in events if e.get("ph") == "M"
+                     and e.get("name") == "process_name" and "args" in e}
+        tpu_pids = {p for p, nm in pid_names.items()
+                    if "TPU" in nm or "/device" in nm.lower()}
+        # top-level module events only (avoid double counting): the
+        # jit_infer envelope carries the full per-call device time
+        agg = collections.Counter()
+        for e in events:
+            if e.get("ph") == "X" and e.get("pid") in tpu_pids:
+                agg[e.get("name", "?")] += e.get("dur", 0) / 1e3
+        top = [v for k, v in agg.items() if k.startswith("jit_infer")]
+        if top:
+            device_ms = float(sum(top) / n)
+    except Exception:
+        pass
+    return p50_host, device_ms
 
 
 def _train_steps_per_sec(hp):
@@ -211,7 +255,7 @@ def main():
     rtf_cached = (B * T * iters * hp.hop_length / hp.sampling_rate) \
         / cached_wall
 
-    p50_ms = _p50_utterance_latency_ms(model, hp, params)
+    p50_ms, device_ms = _p50_utterance_latency_ms(model, hp, params)
     steps_per_sec = _train_steps_per_sec(hp)
     rtf_vocoder = _vocoder_rtf()
 
@@ -225,6 +269,7 @@ def main():
             "rtf_cached_style_bank": round(rtf_cached, 2),
             "rtf_vocoder_hifigan": round(rtf_vocoder, 2),
             "p50_utterance_latency_ms": round(p50_ms, 3),
+            "utterance_device_time_ms": round(device_ms, 3),
             "train_steps_per_sec": round(steps_per_sec, 3),
             "batch": B, "max_symbols": L, "max_frames": T,
             "iters": iters, "wall_s": round(wall, 3),
