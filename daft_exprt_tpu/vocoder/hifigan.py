@@ -17,9 +17,11 @@ and "2" (one conv per dilation; v3). All convs channel-last;
 transposed convs are expressed as lhs-dilated convolutions so XLA maps
 them onto the MXU.
 
-Only the generator is implemented (inference + fine-tuning-dataset
-consumers); discriminators/training belong to the upstream vocoder
-project, as in the reference.
+This module covers generator *inference*; GAN fine-tuning/training
+(MPD + MSD discriminators, losses, loop) lives in
+vocoder/discriminators.py and vocoder/train.py, so the vocoder can be
+adapted to the acoustic model without the external PyTorch stack the
+reference requires.
 """
 
 from __future__ import annotations
@@ -585,7 +587,9 @@ def load_torch_generator(checkpoint_path: str, config_path: str = None):
     state = {k: v for k, v in state.items()}
 
     config = None
-    if config_path:
+    if isinstance(config_path, dict):
+        config = config_path
+    elif config_path:
         with open(config_path) as f:
             config = json.load(f)
     gen = HiFiGanGenerator(config)
@@ -608,3 +612,24 @@ def load_torch_generator(checkpoint_path: str, config_path: str = None):
         resblocks.append(rb)
     params["resblocks"] = resblocks
     return gen, params
+
+
+def load_generator(path: str, config=None):
+    """Load a generator from either checkpoint format.
+
+    A directory containing ``meta.json`` is a ``Vocoder_*`` checkpoint
+    written by vocoder/train.py (weight norm materialized for serving);
+    anything else is treated as a torch HiFi-GAN ``g_*`` file.
+
+    :return: (HiFiGanGenerator, params)
+    """
+    import os
+
+    if os.path.isdir(path) and os.path.isfile(
+            os.path.join(path, "meta.json")):
+        from daft_exprt_tpu.vocoder.train import (
+            export_generator_params, load_vocoder_checkpoint)
+        tree, meta = load_vocoder_checkpoint(path)
+        gen = HiFiGanGenerator(meta.get("gen_config") or config)
+        return gen, export_generator_params(tree["g_wn"])
+    return load_torch_generator(path, config)

@@ -118,10 +118,9 @@ def synthesize(args):
         # TPU-native HiFi-GAN: mel -> waveform on the same chip (the
         # reference requires an external PyTorch vocoder stack).
         from daft_exprt_tpu.audio.io import save_wav
-        from daft_exprt_tpu.vocoder.hifigan import (load_torch_generator,
+        from daft_exprt_tpu.vocoder.hifigan import (load_generator,
                                                     vocode_mels)
-        gen, vparams = load_torch_generator(args.vocoder,
-                                            args.vocoder_config)
+        gen, vparams = load_generator(args.vocoder, args.vocoder_config)
         names = list(predictions.keys())
         mels = [np.asarray(predictions[n][4]) for n in names]
         wavs = vocode_mels(gen, vparams, mels,
