@@ -633,3 +633,47 @@ def load_generator(path: str, config=None):
         gen = HiFiGanGenerator(meta.get("gen_config") or config)
         return gen, export_generator_params(tree["g_wn"])
     return load_torch_generator(path, config)
+
+
+def export_torch_state_dict(gen: HiFiGanGenerator, params: dict):
+    """Export generator params as an official torch HiFi-GAN blob.
+
+    Inverse of load_torch_generator: emits ``weight_g``/``weight_v``/
+    ``bias`` tensors in the layouts the official ``Generator`` module
+    (weight-normalized) expects, so a TPU-fine-tuned vocoder loads
+    back into the upstream PyTorch ecosystem unchanged. Weight norm is
+    re-derived from the materialized weights in torch's convention
+    (dim 0 = out for Conv1d, dim 0 = *in* for ConvTranspose1d), which
+    reproduces the effective weights exactly.
+
+    :return: {"generator": state_dict} (torch tensors)
+    """
+    import torch
+
+    def wn_pair(w):
+        # w already in torch layout; g = ||w|| over dims != 0
+        axes = tuple(range(1, w.ndim))
+        g = np.sqrt(np.sum(w * w, axis=axes, keepdims=True))
+        return (torch.from_numpy(np.ascontiguousarray(g)),
+                torch.from_numpy(np.ascontiguousarray(w)))
+
+    def conv(prefix, p, transpose=False):
+        # ours (k, in, out) -> torch conv (out, in, k) / convT (in, out, k)
+        w = np.asarray(p["w"], np.float32)
+        w = w.transpose(1, 2, 0) if transpose else w.transpose(2, 1, 0)
+        g, v = wn_pair(w)
+        return {f"{prefix}.weight_g": g, f"{prefix}.weight_v": v,
+                f"{prefix}.bias": torch.from_numpy(
+                    np.asarray(p["b"], np.float32))}
+
+    sd = {}
+    sd.update(conv("conv_pre", params["conv_pre"]))
+    sd.update(conv("conv_post", params["conv_post"]))
+    for i, up in enumerate(params["ups"]):
+        sd.update(conv(f"ups.{i}", up, transpose=True))
+    for i, rb in enumerate(params["resblocks"]):
+        for j, c in enumerate(rb["convs1"]):
+            sd.update(conv(f"resblocks.{i}.convs1.{j}", c))
+        for j, c in enumerate(rb.get("convs2", [])):
+            sd.update(conv(f"resblocks.{i}.convs2.{j}", c))
+    return {"generator": sd}

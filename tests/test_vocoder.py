@@ -217,3 +217,25 @@ def test_generator_init_shapes():
     wav = gen.apply(params, mel)
     assert wav.shape == (1, 10 * 8)
     assert np.isfinite(np.asarray(wav)).all()
+
+
+def test_export_torch_roundtrip(rng_np):
+    """export_torch_state_dict loads into the (weight-normalized) torch
+    Generator and reproduces our generator's outputs exactly."""
+    from daft_exprt_tpu.vocoder.hifigan import export_torch_state_dict
+
+    gen = HiFiGanGenerator(TINY)
+    params = gen.init_params(jax.random.PRNGKey(5))
+    blob = export_torch_state_dict(gen, params)
+
+    tmodel = TorchGenerator(TINY, weight_norm=True)
+    tmodel.load_state_dict(blob["generator"])
+    tmodel.eval()
+
+    B, T = 2, 16
+    mel = rng_np.standard_normal((B, TINY["num_mels"], T)).astype(
+        np.float32)
+    ours = np.asarray(gen.apply(params, mel))
+    with torch.no_grad():
+        theirs = tmodel(torch.from_numpy(mel)).squeeze(1).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
