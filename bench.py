@@ -41,14 +41,12 @@ def _p50_utterance_latency_ms(model, hp, params):
     synchronous calls (includes the axon-tunnel RTT in this rig, so it
     overstates a colocated server's latency ~20x) and the per-call
     on-device time aggregated from a profiler trace (what a serving
-    replica colocated with the chip would see).
+    replica colocated with the chip would see). device_ms is None when
+    no trace could be aggregated (keeps the output line valid JSON).
     """
-    import collections
-    import glob
-    import gzip
-    import json as _json
-
     import jax.numpy as jnp
+
+    from daft_exprt_tpu.utils import aggregate_device_trace
 
     B, L, T = 1, 64, 512
     inputs = _synthetic_inference_inputs(hp, B, L, T, seed=1)
@@ -71,7 +69,7 @@ def _p50_utterance_latency_ms(model, hp, params):
         times.append(time.perf_counter() - t0)
     p50_host = float(np.median(times) * 1e3)
 
-    device_ms = float("nan")
+    device_ms = None
     try:
         trace_dir = "/tmp/daft_bench_lat_trace"
         os.system(f"rm -rf {trace_dir}")
@@ -81,24 +79,12 @@ def _p50_utterance_latency_ms(model, hp, params):
             out = infer(params, inputs)
         jax.block_until_ready(out)
         jax.profiler.stop_trace()
-        files = glob.glob(f"{trace_dir}/**/*.trace.json.gz",
-                          recursive=True)
-        with gzip.open(sorted(files)[-1], "rt") as f:
-            events = _json.load(f).get("traceEvents", [])
-        pid_names = {e["pid"]: e["args"].get("name", "")
-                     for e in events if e.get("ph") == "M"
-                     and e.get("name") == "process_name" and "args" in e}
-        tpu_pids = {p for p, nm in pid_names.items()
-                    if "TPU" in nm or "/device" in nm.lower()}
+        agg, _ = aggregate_device_trace(trace_dir)
         # top-level module events only (avoid double counting): the
         # jit_infer envelope carries the full per-call device time
-        agg = collections.Counter()
-        for e in events:
-            if e.get("ph") == "X" and e.get("pid") in tpu_pids:
-                agg[e.get("name", "?")] += e.get("dur", 0) / 1e3
         top = [v for k, v in agg.items() if k.startswith("jit_infer")]
         if top:
-            device_ms = float(sum(top) / n)
+            device_ms = round(float(sum(top) / n), 3)
     except Exception:
         pass
     return p50_host, device_ms
@@ -269,7 +255,7 @@ def main():
             "rtf_cached_style_bank": round(rtf_cached, 2),
             "rtf_vocoder_hifigan": round(rtf_vocoder, 2),
             "p50_utterance_latency_ms": round(p50_ms, 3),
-            "utterance_device_time_ms": round(device_ms, 3),
+            "utterance_device_time_ms": device_ms,
             "train_steps_per_sec": round(steps_per_sec, 3),
             "batch": B, "max_symbols": L, "max_frames": T,
             "iters": iters, "wall_s": round(wall, 3),

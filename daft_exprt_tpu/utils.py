@@ -211,3 +211,38 @@ def prefetch_iterator(iterable, depth: int = 3):
             yield item
     finally:
         stop.set()
+
+
+def aggregate_device_trace(trace_dir: str):
+    """Aggregate per-op device time from a ``jax.profiler`` trace dir.
+
+    Reads the newest ``*.trace.json.gz`` under ``trace_dir``, keeps
+    complete events on TPU-device processes, and sums duration by op
+    name. Shared by bench.py and the tools/*_profile.py scripts.
+
+    :return: (collections.Counter op_name -> total ms, total_ms)
+    """
+    import collections
+    import glob
+    import gzip
+    import json
+
+    files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
+    if not files:
+        raise FileNotFoundError(f"no trace under {trace_dir}")
+    with gzip.open(sorted(files)[-1], "rt") as f:
+        events = json.load(f).get("traceEvents", [])
+    pid_names = {e["pid"]: e["args"].get("name", "")
+                 for e in events
+                 if e.get("ph") == "M" and e.get("name") == "process_name"
+                 and "args" in e}
+    tpu_pids = {p for p, nm in pid_names.items()
+                if "TPU" in nm or "/device" in nm.lower()}
+    agg = collections.Counter()
+    total = 0.0
+    for e in events:
+        if e.get("ph") == "X" and e.get("pid") in tpu_pids:
+            ms = e.get("dur", 0) / 1e3
+            agg[e.get("name", "?")] += ms
+            total += ms
+    return agg, total

@@ -52,33 +52,47 @@ P = jax.sharding.PartitionSpec
 # weight-norm reparameterization over a {w, b}-conv pytree
 # ---------------------------------------------------------------------------
 
-def wn_wrap(tree):
+def wn_wrap(tree, _dim=None):
     """{w, b} conv leaves -> {v, g, b} weight-norm parameterization.
 
-    g = ||w|| per output channel (last axis), v = w: the materialized
-    weight is unchanged, only the optimization geometry differs (as in
-    torch.nn.utils.weight_norm).
+    v = w and g = ||w|| grouped per torch's weight_norm(dim=0) channel:
+    the OUTPUT channel (our last axis) for regular convs, but the
+    INPUT channel (our axis 1) for the generator's transposed "ups"
+    convs, whose torch layout is (in, out, k). g keeps singleton dims
+    so wn_materialize can recover the grouping from its shape. The
+    materialized weight is unchanged at wrap time; only the
+    optimization geometry differs (matching torch fine-tuning).
     """
     if isinstance(tree, dict):
         if set(tree) == {"w", "b"}:
             w = tree["w"]
-            axes = tuple(range(w.ndim - 1))
-            g = jnp.sqrt(jnp.sum(w * w, axis=axes))
+            dim = w.ndim - 1 if _dim is None else _dim
+            axes = tuple(i for i in range(w.ndim) if i != dim)
+            g = jnp.sqrt(jnp.sum(w * w, axis=axes, keepdims=True))
             return {"v": w, "g": g, "b": tree["b"]}
-        return {k: wn_wrap(v) for k, v in tree.items()}
+        return {k: wn_wrap(v, 1 if k == "ups" else _dim)
+                for k, v in tree.items()}
     if isinstance(tree, (list, tuple)):
-        return type(tree)(wn_wrap(v) for v in tree)
+        return type(tree)(wn_wrap(v, _dim) for v in tree)
     return tree
 
 
 def wn_materialize(tree):
-    """Inverse of wn_wrap (differentiable): {v, g, b} -> {w, b}."""
+    """Inverse of wn_wrap (differentiable): {v, g, b} -> {w, b}.
+
+    The norm-grouping axes are the singleton dims of g (set by
+    wn_wrap according to each conv's torch weight_norm convention).
+    """
     if isinstance(tree, dict):
         if set(tree) == {"v", "g", "b"}:
-            v = tree["v"]
-            axes = tuple(range(v.ndim - 1))
+            v, g = tree["v"], tree["g"]
+            if g.ndim == v.ndim:
+                axes = tuple(i for i in range(v.ndim)
+                             if g.shape[i] == 1)
+            else:  # legacy flat g: per-output-channel (last axis)
+                axes = tuple(range(v.ndim - 1))
             norm = jnp.sqrt(jnp.sum(v * v, axis=axes, keepdims=True))
-            return {"w": tree["g"] * v / jnp.maximum(norm, 1e-12),
+            return {"w": g * v / jnp.maximum(norm, 1e-12),
                     "b": tree["b"]}
         return {k: wn_materialize(v) for k, v in tree.items()}
     if isinstance(tree, (list, tuple)):
@@ -384,6 +398,8 @@ def fine_tune_vocoder(dataset_dir: str, output_dir: str,
                       data_parallel: bool = False,
                       checkpoint_every: int = 5000,
                       log_every: int = 100,
+                      initial_epoch: int | None = None,
+                      input_fmax: float | None = None,
                       mpd_kwargs: dict | None = None,
                       msd_kwargs: dict | None = None):
     """Train/fine-tune HiFi-GAN on TPU over a fine-tuning dataset.
@@ -391,7 +407,11 @@ def fine_tune_vocoder(dataset_dir: str, output_dir: str,
     ``generator_ckpt`` may be an official torch ``g_*`` file (weights
     converted, weight norm re-wrapped) or absent (fresh init);
     ``discriminator_ckpt`` an official ``do_*`` file. ``resume`` points
-    at a checkpoint previously written by this loop.
+    at a checkpoint previously written by this loop. The per-epoch lr
+    decay resumes from the ``do_*`` checkpoint's epoch (official
+    ExponentialLR(last_epoch=N) semantics); ``initial_epoch``
+    overrides. ``input_fmax`` sets the from-scratch input-mel fmax
+    (default: min(8000, sr/2), the official config value).
     """
     from daft_exprt_tpu.parallel.mesh import make_mesh, replicated, \
         shard_batch
@@ -407,7 +427,10 @@ def fine_tune_vocoder(dataset_dir: str, output_dir: str,
             vocoder_config = json.load(f)
 
     # generator
-    if generator_ckpt and os.path.isfile(generator_ckpt):
+    if generator_ckpt:
+        if not os.path.isfile(generator_ckpt):
+            raise FileNotFoundError(
+                f"generator checkpoint not found: {generator_ckpt}")
         gen, g_params = load_torch_generator(generator_ckpt,
                                              vocoder_config)
         g_wn = wn_wrap(g_params)
@@ -418,8 +441,13 @@ def fine_tune_vocoder(dataset_dir: str, output_dir: str,
     # discriminators (kwargs scale them down for tests/smoke runs)
     mpd = MultiPeriodDiscriminator(**(mpd_kwargs or {}))
     msd = MultiScaleDiscriminator(**(msd_kwargs or {}))
-    if discriminator_ckpt and os.path.isfile(discriminator_ckpt):
-        mpd, mpd_p, msd, msd_p, msd_state, _ = \
+    ckpt_meta = {}
+    if discriminator_ckpt:
+        if not os.path.isfile(discriminator_ckpt):
+            raise FileNotFoundError(
+                f"discriminator checkpoint not found: "
+                f"{discriminator_ckpt}")
+        mpd, mpd_p, msd, msd_p, msd_state, ckpt_meta = \
             load_torch_discriminators(discriminator_ckpt, mpd=mpd,
                                       msd=msd)
         d_params = {"mpd": mpd_p, "msd": msd_p}
@@ -435,7 +463,15 @@ def fine_tune_vocoder(dataset_dir: str, output_dir: str,
     dataset = VocoderDataset(dataset_dir, mel_cfg, segment_size,
                              from_audio=from_audio)
     steps_per_epoch = max(1, len(dataset) // batch_size)
-    tx_g, tx_d = make_optimizers(lr, lr_decay, steps_per_epoch)
+    # resume the official per-epoch ExponentialLR from the fine-tuned
+    # checkpoint's epoch: lr0 * decay^epoch, decaying per epoch onward
+    epoch0 = initial_epoch if initial_epoch is not None else \
+        int(ckpt_meta.get("epoch", 0))
+    if epoch0:
+        _logger.info(f"resuming lr schedule at epoch {epoch0}: "
+                     f"lr = {lr * lr_decay ** epoch0:.3e}")
+    tx_g, tx_d = make_optimizers(lr * lr_decay ** epoch0, lr_decay,
+                                 steps_per_epoch)
     opt_g, opt_d = tx_g.init(g_wn), tx_d.init(d_params)
 
     start_step = 0
@@ -457,7 +493,10 @@ def fine_tune_vocoder(dataset_dir: str, output_dir: str,
     input_cfg = None
     if from_audio:
         # official scratch recipe: input mel keeps the acoustic fmax
-        input_cfg = dict(loss_cfg, fmax=8000.0)
+        # (8000 in the released configs), clamped below Nyquist
+        if input_fmax is None:
+            input_fmax = min(8000.0, mel_cfg["sampling_rate"] / 2.0)
+        input_cfg = dict(loss_cfg, fmax=input_fmax)
     step_fn = make_vocoder_train_step(gen, mpd, msd, loss_cfg, tx_g,
                                       tx_d, mesh=mesh,
                                       input_mel_cfg=input_cfg)
@@ -474,6 +513,7 @@ def fine_tune_vocoder(dataset_dir: str, output_dir: str,
     rng = np.random.default_rng(seed)
     batches = prefetch_iterator(dataset.batches(rng, batch_size), depth=3)
     t0 = time.perf_counter()
+    last_logged = start_step
     last_metrics = None
     for it in range(start_step + 1, steps + 1):
         batch = next(batches)
@@ -483,8 +523,9 @@ def fine_tune_vocoder(dataset_dir: str, output_dir: str,
             g_wn, d_params, msd_state, opt_g, opt_d, batch)
         if it % log_every == 0 or it == steps:
             metrics = {k: float(v) for k, v in metrics.items()}
-            dt = (time.perf_counter() - t0) / log_every
+            dt = (time.perf_counter() - t0) / max(1, it - last_logged)
             t0 = time.perf_counter()
+            last_logged = it
             line = {"step": it, **metrics, "sec_per_step": round(dt, 4)}
             _logger.info(f"vocoder {line}")
             with open(metrics_path, "a") as f:

@@ -70,6 +70,12 @@ def main():
                         help="compute input mels from the waveforms "
                         "(scratch training) instead of reading the "
                         "acoustic model's predicted .npy mels")
+    parser.add_argument("--initial_epoch", type=int, default=None,
+                        help="lr-decay epoch to resume from (default: "
+                        "the do_* checkpoint's epoch)")
+    parser.add_argument("--input_fmax", type=float, default=None,
+                        help="--from_audio input-mel fmax "
+                        "(default min(8000, sr/2))")
     parser.add_argument("--data_parallel", action="store_true")
     parser.add_argument("--checkpoint_every", type=int, default=5000)
     parser.add_argument("--log_every", type=int, default=100)
@@ -86,6 +92,7 @@ def main():
         steps=args.steps, batch_size=args.batch_size,
         segment_size=args.segment_size, lr=args.learning_rate,
         lr_decay=args.lr_decay, from_audio=args.from_audio,
+        initial_epoch=args.initial_epoch, input_fmax=args.input_fmax,
         seed=args.seed, data_parallel=args.data_parallel,
         checkpoint_every=args.checkpoint_every,
         log_every=args.log_every)

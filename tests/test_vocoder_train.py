@@ -340,3 +340,26 @@ def test_fine_tune_vocoder_loop(tmp_path):
     wav = gen.apply(params, jnp.zeros((1, 8, 16)))
     assert wav.shape == (1, 16 * HOP)
     assert os.path.isfile(str(out / "vocoder_metrics.jsonl"))
+
+
+def test_wn_wrap_ups_matches_torch_dim0():
+    """Generator ups (ConvTranspose1d) weight-norm groups per INPUT
+    channel, matching torch weight_norm(dim=0) on (in, out, k)."""
+    gen = HiFiGanGenerator(TINY_GEN)
+    params = gen.init_params(jax.random.PRNGKey(2))
+    wrapped = wn_wrap(params)
+
+    up = params["ups"][0]["w"]  # ours (k, in, out)
+    t_w = torch.from_numpy(np.asarray(up).transpose(1, 2, 0))
+    conv = nn.ConvTranspose1d(up.shape[1], up.shape[2], up.shape[0])
+    with torch.no_grad():
+        conv.weight.copy_(t_w)
+    conv = weight_norm(conv)
+    want_g = conv.weight_g.detach().numpy()[:, 0, 0]  # (in,)
+    got_g = np.asarray(wrapped["ups"][0]["g"])
+    assert got_g.shape == (1, up.shape[1], 1)
+    np.testing.assert_allclose(got_g[0, :, 0], want_g, rtol=1e-5)
+
+    # regular convs stay per-output-channel
+    pre_g = np.asarray(wrapped["conv_pre"]["g"])
+    assert pre_g.shape == (1, 1, params["conv_pre"]["w"].shape[2])

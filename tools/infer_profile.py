@@ -7,10 +7,6 @@ is visible by XLA op name.
 
 from __future__ import annotations
 
-import collections
-import glob
-import gzip
-import json
 import os
 import sys
 
@@ -28,6 +24,7 @@ import jax.numpy as jnp  # noqa: E402
 from __graft_entry__ import (_flagship_hparams,  # noqa: E402
                              _synthetic_inference_inputs)
 from daft_exprt_tpu.models.daft_exprt import DaftExprt  # noqa: E402
+from daft_exprt_tpu.utils import aggregate_device_trace  # noqa: E402
 
 
 def main():
@@ -58,23 +55,7 @@ def main():
     jax.block_until_ready(out)
     jax.profiler.stop_trace()
 
-    files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
-    assert files, "no trace"
-    with gzip.open(sorted(files)[-1], "rt") as f:
-        trace = json.load(f)
-    events = trace.get("traceEvents", [])
-    pid_names = {e["pid"]: e["args"].get("name", "")
-                 for e in events
-                 if e.get("ph") == "M" and e.get("name") == "process_name"
-                 and "args" in e}
-    tpu_pids = {p for p, n in pid_names.items()
-                if "TPU" in n or "/device" in n.lower()}
-    agg = collections.Counter()
-    total = 0.0
-    for e in events:
-        if e.get("ph") == "X" and e.get("pid") in tpu_pids:
-            agg[e.get("name", "?")] += e.get("dur", 0) / 1e3
-            total += e.get("dur", 0) / 1e3
+    agg, total = aggregate_device_trace(trace_dir)
     print(f"device time over 3 calls: {total:.2f} ms "
           f"({total/3:.2f} ms/call)")
     for name, ms in agg.most_common(30):

@@ -7,10 +7,6 @@ the train step are visible without TensorBoard.
 
 from __future__ import annotations
 
-import collections
-import glob
-import gzip
-import json
 import os
 import sys
 import time
@@ -32,6 +28,7 @@ from bench import _train_steps_per_sec  # noqa: E402
 from daft_exprt_tpu.models.daft_exprt import DaftExprt  # noqa: E402
 from daft_exprt_tpu.training.step import (make_optimizer,  # noqa: E402
                                           make_train_step)
+from daft_exprt_tpu.utils import aggregate_device_trace  # noqa: E402
 
 
 def main():
@@ -85,26 +82,7 @@ def main():
     jax.profiler.stop_trace()
     time.sleep(1)
 
-    files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
-    assert files, f"no trace produced under {trace_dir}"
-    with gzip.open(sorted(files)[-1], "rt") as f:
-        trace = json.load(f)
-    events = trace.get("traceEvents", [])
-    # find TPU device pids (processes whose name mentions TPU/device)
-    pid_names = {e["pid"]: e["args"].get("name", "")
-                 for e in events
-                 if e.get("ph") == "M" and e.get("name") == "process_name"
-                 and "args" in e}
-    tpu_pids = {p for p, n in pid_names.items()
-                if "TPU" in n or "/device" in n.lower()}
-    agg = collections.Counter()
-    total = 0.0
-    for e in events:
-        if e.get("ph") == "X" and e.get("pid") in tpu_pids:
-            name = e.get("name", "?")
-            dur = e.get("dur", 0) / 1e3  # ms
-            agg[name] += dur
-            total += dur
+    agg, total = aggregate_device_trace(trace_dir)
     print(f"\ndevice time over 3 steps: {total:.2f} ms "
           f"({total/3:.2f} ms/step)")
     for name, ms in agg.most_common(25):

@@ -7,10 +7,6 @@ losses, both optimizer updates) so its hotspots are visible by op name.
 
 from __future__ import annotations
 
-import collections
-import glob
-import gzip
-import json
 import os
 import sys
 import time
@@ -32,6 +28,7 @@ from daft_exprt_tpu.vocoder.hifigan import HiFiGanGenerator  # noqa: E402
 from daft_exprt_tpu.vocoder.train import (make_optimizers,  # noqa: E402
                                           make_vocoder_train_step,
                                           wn_wrap)
+from daft_exprt_tpu.utils import aggregate_device_trace  # noqa: E402
 
 MEL_CFG = {"sampling_rate": 22050, "n_fft": 1024, "hop_length": 256,
            "n_mels": 80, "fmin": 0.0, "fmax": None}
@@ -80,24 +77,7 @@ def main():
     jax.profiler.stop_trace()
     time.sleep(1)
 
-    files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
-    assert files, f"no trace produced under {trace_dir}"
-    with gzip.open(sorted(files)[-1], "rt") as f:
-        events = json.load(f).get("traceEvents", [])
-    pid_names = {e["pid"]: e["args"].get("name", "")
-                 for e in events
-                 if e.get("ph") == "M" and e.get("name") == "process_name"
-                 and "args" in e}
-    tpu_pids = {p for p, nm in pid_names.items()
-                if "TPU" in nm or "/device" in nm.lower()}
-    agg = collections.Counter()
-    total = 0.0
-    for e in events:
-        if e.get("ph") == "X" and e.get("pid") in tpu_pids:
-            name = e.get("name", "?")
-            dur = e.get("dur", 0) / 1e3
-            agg[name] += dur
-            total += dur
+    agg, total = aggregate_device_trace(trace_dir)
     print(f"\ndevice time over 3 steps: {total:.2f} ms "
           f"({total/3:.2f} ms/step)")
     for name, ms in agg.most_common(30):
