@@ -79,7 +79,8 @@ class DaftExprt:
         pe = self.pe_cfg
 
         # ---- prosody encoder ----
-        kk = jax.random.split(keys[0], 16)
+        # 5 prenet/embed keys + one per block + 4 head/embedding keys
+        kk = jax.random.split(keys[0], 9 + pe["nb_blocks"])
         pe_dim = pe["hidden_embed_dim"]
         prenet = {
             "conv1": nn.conv1d_init(kk[0], hp.n_mel_channels,
@@ -105,15 +106,16 @@ class DaftExprt:
                                   pe["conv_channels"], pe["conv_kernel"])
                 for i in range(pe["nb_blocks"])
             ],
-            "spk_embedding": nn.embedding_init(kk[11], hp.n_speakers, pe_dim),
-            "gammas_predictor": nn.linear_init(kk[12], pe_dim,
-                                               self.nb_tot_film_params),
-            "betas_predictor": nn.linear_init(kk[13], pe_dim,
-                                              self.nb_tot_film_params),
+            "spk_embedding": nn.embedding_init(
+                kk[5 + pe["nb_blocks"]], hp.n_speakers, pe_dim),
+            "gammas_predictor": nn.linear_init(
+                kk[6 + pe["nb_blocks"]], pe_dim, self.nb_tot_film_params),
+            "betas_predictor": nn.linear_init(
+                kk[7 + pe["nb_blocks"]], pe_dim, self.nb_tot_film_params),
         }
         if hp.post_mult_weight != 0.0:
             prosody_encoder["post_multipliers"] = nn.xavier_uniform(
-                kk[14], (2, self.nb_post_multipliers), 2,
+                kk[8 + pe["nb_blocks"]], (2, self.nb_post_multipliers), 2,
                 self.nb_post_multipliers)
 
         # ---- speaker classifier ----
@@ -321,13 +323,18 @@ class DaftExprt:
         return preds[..., 0], preds[..., 1], preds[..., 2]
 
     def gaussian_upsampling(self, params, x, durations_float, durations_int,
-                            energies, pitch, input_lengths, max_frames):
+                            energies, pitch, input_lengths, max_frames,
+                            deterministic=True):
+        mm = not deterministic  # conv grads lower best as shifted matmuls
         dur = nn.conv1d_apply(params["duration_projection"],
-                              durations_float[..., None], self.dtype)
+                              durations_float[..., None], self.dtype,
+                              matmul_form=mm)
         nrg = nn.conv1d_apply(params["energy_projection"],
-                              energies[..., None], self.dtype)
+                              energies[..., None], self.dtype,
+                              matmul_form=mm)
         pit = nn.conv1d_apply(params["pitch_projection"],
-                              pitch[..., None], self.dtype)
+                              pitch[..., None], self.dtype,
+                              matmul_form=mm)
         x = x + nrg + pit
         range_inputs = x + dur
         ranges = jax.nn.softplus(
@@ -374,7 +381,10 @@ class DaftExprt:
          symbols_pitch, input_lengths, frames_energy, frames_pitch,
          mel_specs, output_lengths, speaker_ids) = inputs
         deterministic = not train
-        r1, r2, r3 = jax.random.split(rng, 3)
+        # 4 independent keys: re-splitting the parent key after use
+        # would alias the decoder's key with r2 (split(k, 2) is a
+        # prefix of split(k, 3)), correlating dropout masks
+        r1, r2, r3, r4 = jax.random.split(rng, 4)
 
         prosody_embed, encoder_film, pred_film, decoder_film = \
             self.prosody_encoder(params["prosody_encoder"], frames_energy,
@@ -391,11 +401,10 @@ class DaftExprt:
         symbols_upsamp, weights = self.gaussian_upsampling(
             params["gaussian_upsampling"], enc_outputs, durations_float,
             durations_int, symbols_energy, symbols_pitch, input_lengths,
-            max_frames=mel_specs.shape[-1])
-        rng, sub = jax.random.split(rng)
+            max_frames=mel_specs.shape[-1], deterministic=deterministic)
         mel_spec_preds = self.frame_decoder(params["frame_decoder"],
                                             symbols_upsamp, decoder_film,
-                                            output_lengths, sub,
+                                            output_lengths, r4,
                                             deterministic)
 
         post_mult = params["prosody_encoder"].get("post_multipliers", 1.0)

@@ -211,8 +211,9 @@ def mha_init(rng, embed_dim, num_heads):
         "q_b": jnp.zeros((embed_dim,), jnp.float32),
         "k_b": jnp.zeros((embed_dim,), jnp.float32),
         "v_b": jnp.zeros((embed_dim,), jnp.float32),
-        "out_w": xavier_uniform(ks[3], (embed_dim, embed_dim), embed_dim,
-                                embed_dim, "linear"),
+        "out_w": jax.random.uniform(
+            ks[3], (embed_dim, embed_dim), jnp.float32,
+            -1.0 / np.sqrt(embed_dim), 1.0 / np.sqrt(embed_dim)),
         "out_b": jnp.zeros((embed_dim,), jnp.float32),
         "ln": layer_norm_init(embed_dim),
     }
