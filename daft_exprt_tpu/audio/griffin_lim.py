@@ -141,12 +141,25 @@ def griffin_lim_reconstruction_from_mel_spec(log_mel_spec: np.ndarray,
     """log-mel (n_mels, T) -> peak-normalized waveform.
 
     Drops the last two frames as the reference does (they carry the
-    centered-STFT right padding).
+    centered-STFT right padding). The frame axis is padded up to the
+    configured frame bucket before the jitted NNLS/Griffin-Lim programs
+    (then cropped), so utterances of different lengths reuse cached
+    executables instead of recompiling per shape.
     """
-    linear = mel_to_linear(log_mel_spec, hparams)
-    if linear.ndim != 2 or linear.shape[1] <= 2:
+    if log_mel_spec.ndim != 2 or log_mel_spec.shape[1] <= 2:
         return np.array([])
+    t_true = log_mel_spec.shape[1]
+    bucket = max(int(getattr(hparams, "frame_bucket", 1)), 1)
+    t_pad = -(-t_true // bucket) * bucket
+    if t_pad != t_true:
+        log_mel_spec = np.pad(
+            log_mel_spec, ((0, 0), (0, t_pad - t_true)),
+            constant_values=float(np.log(hparams.min_clipping)))
+    linear = mel_to_linear(log_mel_spec, hparams)
     wav = reconstruct_signal_griffin_lim(linear[:, :-2], hparams.hop_length,
                                          iterations=iterations)
+    # crop to the unpadded reconstruction length: (T - 2) frames of hop
+    # plus the final analysis window
+    wav = wav[:(t_true - 2) * hparams.hop_length + hparams.filter_length]
     peak = np.max(np.abs(wav))
     return wav / peak if peak > 0 else wav

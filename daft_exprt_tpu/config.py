@@ -75,7 +75,7 @@ class HyperParams:
         self.nb_iterations = 370000
         self.iters_per_checkpoint = 10000
         self.iters_check_for_model_improvement = 5000
-        self.batch_size = 16           # per-device batch size
+        self.batch_size = 16           # GLOBAL micro-batch (sharded over the data mesh)
         self.accumulation_steps = 3    # gradient accumulation
         self.checkpoint = ""
 

@@ -5,7 +5,8 @@ The native ``TrainLoader`` assembles each stacked batch inline (one
 step). At ~20 optimizer steps/s on one chip, the .npy reads + collation
 for a (accum, B, ...) step batch are a measurable host-side stall risk;
 this loader keeps the exact same epoch plan (shuffle, length-sorted
-chunks, process sharding, step-wide buckets — ``TrainLoader.plan_epoch``)
+chunks, step-wide buckets, per-process row slicing —
+``TrainLoader.plan_epoch``/``assemble``)
 but hands step assembly to a pool of Grain worker processes with
 read-ahead, so multiple future batches build concurrently.
 
@@ -63,7 +64,7 @@ class GrainTrainLoader(TrainLoader):
         source = _StepSource(self, plan)
         sampler = grain.IndexSampler(
             num_records=len(source),
-            shard_options=grain.NoSharding(),  # plan is pre-sharded
+            shard_options=grain.NoSharding(),  # assemble() slices rows
             shuffle=False,                     # plan is pre-shuffled
             num_epochs=1,
             seed=0,

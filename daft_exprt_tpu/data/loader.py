@@ -23,8 +23,6 @@ import random
 
 import numpy as np
 
-from daft_exprt_tpu.training.step import INPUT_KEYS  # noqa: F401 (doc)
-
 
 def _read_column(path: str) -> np.ndarray:
     with open(path, encoding="utf-8") as f:
@@ -188,6 +186,9 @@ class TrainLoader:
         self.hp = hparams
         self.process_index = process_index
         self.process_count = process_count
+        assert hparams.batch_size % process_count == 0, (
+            f"batch_size ({hparams.batch_size}) must divide evenly "
+            f"across {process_count} processes")
         self.drop_last = drop_last
         # precompute lengths for bucketing without loading payloads
         self._lengths = []
@@ -208,17 +209,20 @@ class TrainLoader:
     def batches_per_epoch(self) -> int:
         micro = self.hp.batch_size
         accum = self.hp.accumulation_steps
-        per_proc = len(self._valid) // self.process_count
-        return per_proc // (micro * accum)
+        return len(self._valid) // (micro * accum)
 
     def plan_epoch(self, epoch_idx: int) -> list:
-        """Deterministic per-epoch step plan: [(idxs, L, T), ...].
+        """Deterministic per-epoch GLOBAL step plan: [(idxs, L, T), ...].
 
         Shuffles, sorts within coarse chunks by frame length so each
         micro-batch is length-homogeneous (less padding waste) while
-        preserving global shuffle, shards across processes, and
-        precomputes each step's common (L, T) buckets from the marker
-        lengths — no payload I/O.
+        preserving global shuffle, and precomputes each step's common
+        (L, T) buckets from the marker lengths — no payload I/O.
+
+        The plan is identical on every process (seeded by epoch only):
+        under multi-host SPMD all hosts must agree on the step count
+        and padded shapes or the lockstep collectives diverge; each
+        process loads only its own rows in ``assemble``.
         """
         hp = self.hp
         micro, accum = hp.batch_size, hp.accumulation_steps
@@ -229,7 +233,6 @@ class TrainLoader:
         for s in range(0, len(order), chunk):
             order[s:s + chunk] = sorted(
                 order[s:s + chunk], key=lambda j: self._lengths[j][1])
-        order = order[self.process_index::self.process_count]
 
         step_size = micro * accum
         plan = []
@@ -242,14 +245,31 @@ class TrainLoader:
             plan.append((idxs, L, T))
         return plan
 
+    def _local_rows(self, idxs):
+        """This process's contiguous slice of each micro-batch.
+
+        The global micro-batch axis is sharded over the mesh's device
+        axis; devices are ordered by process, so process p owns rows
+        [p*B/P, (p+1)*B/P) of every micro-batch.
+        """
+        micro = self.hp.batch_size
+        accum = self.hp.accumulation_steps
+        local = micro // self.process_count
+        lo = self.process_index * local
+        rows = []
+        for m in range(accum):
+            rows.extend(idxs[m * micro + lo:m * micro + lo + local])
+        return rows, local
+
     def assemble(self, step) -> dict:
-        """Load + collate one planned step into a stacked (accum, B,
-        ...) batch dict (rectangular by construction)."""
+        """Load + collate this process's share of one planned step into
+        a stacked (accum, B/process_count, ...) batch dict."""
         hp = self.hp
-        micro, accum = hp.batch_size, hp.accumulation_steps
+        accum = hp.accumulation_steps
         idxs, L, T = step
-        examples = [self.ds[self._valid[j]] for j in idxs]
-        micros = [collate(examples[m * micro:(m + 1) * micro], hp,
+        rows, local = self._local_rows(idxs)
+        examples = [self.ds[self._valid[j]] for j in rows]
+        micros = [collate(examples[m * local:(m + 1) * local], hp,
                           pad_symbols=L, pad_frames=T)
                   for m in range(accum)]
         batch = {}

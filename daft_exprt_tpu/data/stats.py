@@ -62,6 +62,20 @@ def extract_features_stats(hparams, n_jobs: int) -> dict:
     for speaker_id in sorted(set(hparams.speakers_id)):
         _logger.info(f"Speaker ID: {speaker_id}")
         items = [(d, f) for d, f, sid in training if sid == speaker_id]
+        if not items:
+            # a single-file speaker: create_sets routed its only file
+            # to validation. Fall back to the validation files so the
+            # speaker still gets finite standardization stats (the
+            # reference would crash on np.min of an empty list here).
+            val = read_training_lines(hparams.validation_files)
+            items = [(d, f) for d, f, sid in val if sid == speaker_id]
+            _logger.warning(
+                f"speaker {speaker_id} has no training files; computing "
+                f"its stats from {len(items)} validation file(s)")
+        if not items:
+            raise ValueError(
+                f"speaker {speaker_id} has no feature files in either "
+                "the training or validation lists")
         results = launch_multi_process(
             iterable=items, func=_file_stats, n_jobs=n_jobs,
             symbols=symbols, timer_verbose=False)
@@ -71,15 +85,22 @@ def extract_features_stats(hparams, n_jobs: int) -> dict:
                 symbol_durs[symbol].append(d)
             energy.extend(nrg)
             pitch.extend(f0)
+        def summary(vals, name):
+            if not vals:
+                # e.g. fully-unvoiced synthetic audio: neutral stats
+                # (std 1 so standardization is the identity) beat a
+                # crash or NaNs poisoning stats.json
+                _logger.warning(f"speaker {speaker_id}: no nonzero "
+                                f"{name} values; writing neutral stats")
+                return {"mean": 0.0, "std": 1.0, "min": 0.0, "max": 0.0}
+            return {"mean": float(np.mean(vals)),
+                    "std": float(np.std(vals)),
+                    "min": float(np.min(vals)),
+                    "max": float(np.max(vals))}
+
         stats[f"spk {speaker_id}"] = {
-            "energy": {"mean": float(np.mean(energy)),
-                       "std": float(np.std(energy)),
-                       "min": float(np.min(energy)),
-                       "max": float(np.max(energy))},
-            "pitch": {"mean": float(np.mean(pitch)),
-                      "std": float(np.std(pitch)),
-                      "min": float(np.min(pitch)),
-                      "max": float(np.max(pitch))},
+            "energy": summary(energy, "energy"),
+            "pitch": summary(pitch, "pitch"),
         }
 
     stats["symbols"] = {

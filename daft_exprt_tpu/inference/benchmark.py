@@ -33,8 +33,8 @@ def make_benchmark_hook(hparams, scripts_root: str):
 
     def hook(params, iteration, output_dir):
         from daft_exprt_tpu.inference.generate import (
-            InferenceEngine, extract_reference_parameters,
-            generate_mel_specs, prepare_sentences_for_inference)
+            InferenceEngine, generate_mel_specs,
+            prepare_sentences_for_inference)
         from daft_exprt_tpu.models.daft_exprt import DaftExprt
 
         try:
@@ -82,9 +82,3 @@ def _reference_from_features(features_dir: str, feature_file: str,
     np.savez(ref, energy=col(base + ".frames_nrg"),
              pitch=col(base + ".frames_f0"), mel_spec=mel)
     return ref
-
-
-def extract_reference_parameters(*args, **kwargs):  # re-export guard
-    from daft_exprt_tpu.inference.generate import \
-        extract_reference_parameters as _erp
-    return _erp(*args, **kwargs)

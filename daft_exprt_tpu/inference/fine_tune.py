@@ -72,32 +72,30 @@ def fine_tuning_dataset(model, params, hparams, dataset_dir: str,
             assert mel_pred.shape == example["mel_spec"].shape, (
                 file_name, mel_pred.shape, example["mel_spec"].shape)
 
-            # re-trim the ground-truth wav to the aligned span
+            # re-trim the ground-truth wav to the aligned span; only
+            # the align/ (MFA) markers carry the original absolute
+            # times -- our features markers are re-based to 0, so the
+            # leading-silence offset is unrecoverable from them and a
+            # [0:end] slice would silently misalign every mel/wav pair
             markers_file = os.path.join(
                 dataset_dir, speaker, "align", f"{file_name}.markers")
-            features_markers = os.path.join(feature_dirs[row],
-                                            f"{file_name}.markers")
-            src = markers_file if os.path.isfile(markers_file) \
-                else features_markers
-            with open(src, encoding="utf-8") as f:
+            if not os.path.isfile(markers_file):
+                _logger.warning(
+                    f"{file_name}: no align markers at {markers_file} "
+                    "-- cannot recover the trim offset, skipping")
+                continue
+            with open(markers_file, encoding="utf-8") as f:
                 rows = [line.strip().split("\t") for line in f
                         if line.strip()]
             begin = float(rows[0][0])
             end = float(rows[-1][1])
-            if src == features_markers:
-                # features markers are already re-based to 0; find the
-                # original offset from the align markers if available
-                begin, end = 0.0, end
             wav_file = os.path.join(dataset_dir, speaker, "wavs",
                                     f"{file_name}.wav")
             if not os.path.isfile(wav_file):
                 _logger.warning(f"missing GT wav {wav_file} -- skipping")
                 continue
             wav, fs = load_wav(wav_file, target_sr=hp.sampling_rate)
-            if src == markers_file:
-                wav = wav[int(begin * fs):int(end * fs)]
-            else:
-                wav = wav[:int(end * fs)]
+            wav = wav[int(begin * fs):int(end * fs)]
             if len(wav) < fs * hp.minimum_wav_duration / 1000:
                 _logger.warning(f"{file_name}: audio < "
                                 f"{hp.minimum_wav_duration}ms -- skipped")

@@ -58,6 +58,24 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch, batch_axis: int = 0):
-    """Place a host batch pytree onto the mesh, sharded on batch_axis."""
+    """Place a host batch pytree onto the mesh, sharded on batch_axis.
+
+    Single-process: a plain sharded device_put of the global batch.
+    Multi-host: each process passes its LOCAL rows (the loaders emit
+    per-process slices) and the global array is assembled with
+    ``jax.make_array_from_process_local_data`` — device_put cannot
+    target non-addressable devices.
+    """
     sharding = batch_sharding(mesh, batch_axis)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+    n_proc = jax.process_count()
+
+    def put(x):
+        global_shape = list(np.shape(x))
+        global_shape[batch_axis] *= n_proc
+        return jax.make_array_from_process_local_data(
+            sharding, np.asarray(x), tuple(global_shape))
+
+    return jax.tree.map(put, batch)

@@ -25,17 +25,26 @@ _logger = logging.getLogger(__name__)
 
 def save_checkpoint(ckpt_dir: str, iteration: int, params, opt_state,
                     hparams, best_val_loss: float, name: str | None = None):
-    """Write ``{ckpt_dir}/{name or DaftExprt_{iteration}}``."""
+    """Write ``{ckpt_dir}/{name or DaftExprt_{iteration}}``.
+
+    On a multi-host mesh EVERY process must call this (Orbax saves of
+    cross-host-sharded/replicated arrays are collectives); only process
+    0 writes meta.json.
+    """
+    import jax
+
     name = name or f"DaftExprt_{iteration}"
     path = os.path.abspath(os.path.join(ckpt_dir, name))
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(os.path.join(path, "params"), params, force=True)
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(os.path.join(path, "opt_state"), opt_state, force=True)
-    meta = {"iteration": iteration, "best_val_loss": float(best_val_loss),
-            "config_params": hparams.as_dict()}
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump(meta, f, indent=2, default=float)
+    if jax.process_index() == 0:
+        meta = {"iteration": iteration,
+                "best_val_loss": float(best_val_loss),
+                "config_params": hparams.as_dict()}
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f, indent=2, default=float)
     return path
 
 

@@ -77,6 +77,13 @@ def make_train_step(model, hp, mesh=None, donate=True):
     """
     tx, schedule = make_optimizer(hp)
     accum = hp.accumulation_steps
+    if mesh is not None:
+        dp = mesh.devices.size
+        assert hp.batch_size % dp == 0, (
+            f"batch_size ({hp.batch_size}) is the GLOBAL micro-batch "
+            f"and must divide the data-parallel size ({dp}); effective "
+            f"batch = batch_size x accumulation_steps (see "
+            f"docs/deployment.md)")
 
     def loss_fn(params, micro_batch, rng, iteration):
         outputs = model.forward(params, _batch_to_inputs(micro_batch), rng,

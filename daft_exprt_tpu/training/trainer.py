@@ -117,8 +117,13 @@ class Trainer:
             batch = {k: v for k, v in batch.items()
                      if k not in ("feature_dirs", "feature_files")}
             if self.mesh is not None:
-                dp = self.mesh.devices.size
-                if batch["symbols"].shape[0] % dp != 0:
+                # every process iterates the full val set, so the
+                # host-local batch must split over the LOCAL devices
+                # (multi-host: each host contributes its copy as its
+                # shard; means over duplicated rows are unchanged)
+                local_dp = max(1, self.mesh.devices.size
+                               // jax.process_count())
+                if batch["symbols"].shape[0] % local_dp != 0:
                     continue  # remainder batch: skip under SPMD
                 batch = shard_batch(self.mesh, batch, batch_axis=0)
             metrics = self.eval_step(params, batch, rng)
@@ -128,8 +133,22 @@ class Trainer:
             count += b
         return {k: v / max(count, 1) for k, v in totals.items()}
 
+    def _host_local(self, tree):
+        """Host-local numpy copies of (replicated) global arrays.
+
+        Chief-only eager work (figure forward pass, benchmark-sentence
+        synthesis) cannot operate on arrays spanning non-addressable
+        devices of a multi-host mesh.
+        """
+        if jax.process_count() == 1:
+            return tree
+        return jax.tree.map(
+            lambda x: np.asarray(x.addressable_data(0))
+            if hasattr(x, "addressable_data") else np.asarray(x), tree)
+
     def validation_sample(self, params, val_loader):
         """One forward pass on one batch for the TensorBoard figures."""
+        params = self._host_local(params)
         for batch in val_loader:
             clean = {k: v for k, v in batch.items()
                      if k not in ("feature_dirs", "feature_files")}
@@ -228,6 +247,10 @@ class Trainer:
 
                 if self.iteration % hp.iters_check_for_model_improvement \
                         == 0:
+                    # every process validates (identical batches) and
+                    # reaches the same improvement decision: on a
+                    # multi-host mesh Orbax saves are collectives that
+                    # all processes must enter, chief-only logs
                     val = self.validate(params, val_loader)
                     if self.is_chief:
                         sample = self.validation_sample(params, val_loader)
@@ -235,31 +258,32 @@ class Trainer:
                                                  sample)
                         _logger.info(f"validation @ {self.iteration}: "
                                      f"loss={val.get('loss', 0):.4f}")
-                        if val.get("loss", float("inf")) \
-                                < self.best_val_loss:
-                            self.best_val_loss = val["loss"]
-                            save_checkpoint(
-                                ckpt_dir, self.iteration, params,
-                                opt_state, hp, self.best_val_loss,
-                                name="DaftExprt_best")
+                    if val.get("loss", float("inf")) \
+                            < self.best_val_loss:
+                        self.best_val_loss = val["loss"]
+                        save_checkpoint(
+                            ckpt_dir, self.iteration, params,
+                            opt_state, hp, self.best_val_loss,
+                            name="DaftExprt_best")
+                        if self.is_chief:
                             _logger.info("new best model saved")
 
                 if self.iteration % hp.iters_per_checkpoint == 0:
+                    path = save_checkpoint(
+                        ckpt_dir, self.iteration, params, opt_state,
+                        hp, self.best_val_loss)
                     if self.is_chief:
-                        path = save_checkpoint(
-                            ckpt_dir, self.iteration, params, opt_state,
-                            hp, self.best_val_loss)
                         _logger.info(f"checkpoint saved: {path}")
                         if benchmark_hook is not None:
-                            benchmark_hook(params, self.iteration,
-                                           out_dir)
+                            benchmark_hook(self._host_local(params),
+                                           self.iteration, out_dir)
             epoch += 1
 
         if self._profiling:  # training ended inside the profile window
             self._stop_profile(out_dir)
+        save_checkpoint(ckpt_dir, self.iteration, params, opt_state,
+                        hp, self.best_val_loss, name="DaftExprt_last")
         if self.is_chief:
-            save_checkpoint(ckpt_dir, self.iteration, params, opt_state,
-                            hp, self.best_val_loss, name="DaftExprt_last")
             logger_tb.close()
         return params, opt_state
 

@@ -341,3 +341,34 @@ def test_device_pitch_features_match_host(corpus):
             assert host_vals == dev_vals, x
             compared += 1
     assert compared >= 6 * 2  # 3 utts x 2 files x 2 speakers
+
+
+def test_train_loader_multiprocess_parity(corpus):
+    """Multi-host semantics: every process plans the SAME steps (same
+    count, same (L, T) buckets) and per-process batches concatenated
+    along the micro-batch axis reproduce the single-process batch."""
+    root, hp, dataset_dir, features_dir = corpus
+    hp.batch_size, hp.accumulation_steps = 2, 2
+    ds = FeatureDataset(hp.training_files, hp)
+    single = TrainLoader(ds, hp)
+    p0 = TrainLoader(ds, hp, process_index=0, process_count=2)
+    p1 = TrainLoader(ds, hp, process_index=1, process_count=2)
+
+    assert single.batches_per_epoch() == p0.batches_per_epoch() \
+        == p1.batches_per_epoch() >= 1
+    plan_s, plan_0, plan_1 = (ld.plan_epoch(1)
+                              for ld in (single, p0, p1))
+    assert plan_0 == plan_1 == plan_s  # identical global plans
+
+    for step in plan_s:
+        full = single.assemble(step)
+        a = p0.assemble(step)
+        b = p1.assemble(step)
+        for k in full:
+            merged = np.concatenate([a[k], b[k]], axis=1)
+            np.testing.assert_array_equal(merged, full[k])
+
+    # batch_size must divide process_count
+    import pytest as _pytest
+    with _pytest.raises(AssertionError):
+        TrainLoader(ds, hp, process_index=0, process_count=3)
