@@ -79,9 +79,8 @@ def _p50_utterance_latency_ms(model, hp, params):
             out = infer(params, inputs)
         jax.block_until_ready(out)
         jax.profiler.stop_trace()
-        agg, _ = aggregate_device_trace(trace_dir)
-        # top-level module events only (avoid double counting): the
-        # jit_infer envelope carries the full per-call device time
+        # module envelopes: jit_infer carries the full per-call time
+        agg, _ = aggregate_device_trace(trace_dir, level="modules")
         top = [v for k, v in agg.items() if k.startswith("jit_infer")]
         if top:
             device_ms = round(float(sum(top) / n), 3)

@@ -164,8 +164,16 @@ class HyperParams:
         self.speakers_id = []
 
         # -------- apply kwargs overrides --------
+        # derived keys appear in saved config.json (round-trip) but not
+        # in the defaults above
+        derived = {"n_symbols", "mfa_dictionary", "mfa_g2p_model",
+                   "mfa_acoustic_model"}
         for key, value in kwargs.items():
-            if (hasattr(self, key) and getattr(self, key) is not None
+            if not hasattr(self, key) and key not in derived:
+                _logger.warning(
+                    f'Unknown hyper-parameter "{key}" -- setting it, '
+                    "but no built-in component reads it (typo?)")
+            elif (hasattr(self, key) and getattr(self, key) is not None
                     and getattr(self, key) != value and verbose):
                 _logger.warning(
                     f'Changing parameter "{key}" = {value} '

@@ -40,7 +40,7 @@ def get_nb_jobs(n_jobs) -> int:
 
 def _progress(i: int, n: int, t0: float, bar_size: int = 16):
     done = ((i + 1) * bar_size) // n
-    bar = "#" * (done + 1) + "-" * (bar_size - done - 1)
+    bar = "#" * done + "-" * (bar_size - done)
     eta = (n - i - 1) * (time.time() - t0) / (i + 1)
     mins, secs = divmod(int(eta), 60)
     hours, mins = divmod(mins, 60)
@@ -62,9 +62,16 @@ def worker_logger(log_queue) -> logging.Logger:
     import logging.handlers
     import uuid
     root = logging.getLogger()
-    if not root.hasHandlers():
+    has_queue_handler = any(
+        isinstance(h, logging.handlers.QueueHandler)
+        for h in root.handlers)
+    if not has_queue_handler:
         root.setLevel(logging.INFO)
-        root.addHandler(logging.handlers.QueueHandler(log_queue))
+        # replace any handlers inherited over fork: N workers writing
+        # concurrently to the parent's stream/file handlers interleave
+        # and corrupt lines -- everything routes through the queue to
+        # the parent's listener thread instead
+        root.handlers = [logging.handlers.QueueHandler(log_queue)]
     return logging.getLogger(f"worker{uuid.uuid4()}")
 
 
@@ -92,19 +99,23 @@ def launch_multi_process(iterable, func, n_jobs: int, chunksize: int = 1,
     results = []
     t0 = time.time()
     n = len(iterable)
-    with ctx.Pool(processes=n_jobs) as pool:
-        bound = partial(func, log_queue=queue, **kwargs)
-        it = (pool.imap if ordered else pool.imap_unordered)(
-            bound, iterable, chunksize=chunksize)
-        for i, out in enumerate(it):
-            results.append(out)
-            if timer_verbose and n:
-                _progress(i, n, t0)
-        pool.close()
-        pool.join()
-
-    queue.put(None)
-    listener.join()
+    try:
+        with ctx.Pool(processes=n_jobs) as pool:
+            bound = partial(func, log_queue=queue, **kwargs)
+            it = (pool.imap if ordered else pool.imap_unordered)(
+                bound, iterable, chunksize=chunksize)
+            for i, out in enumerate(it):
+                results.append(out)
+                if timer_verbose and n:
+                    _progress(i, n, t0)
+            pool.close()
+            pool.join()
+    finally:
+        # always release the (non-daemon) listener thread -- a worker
+        # exception re-raised by imap would otherwise leave it blocked
+        # on queue.get() and deadlock interpreter shutdown
+        queue.put(None)
+        listener.join()
     return results
 
 
@@ -184,20 +195,24 @@ def prefetch_iterator(iterable, depth: int = 3):
     stop = threading.Event()
     _END = object()
 
+    def _put(obj):
+        """stop-aware put: never block forever on an abandoned queue."""
+        while not stop.is_set():
+            try:
+                q.put(obj, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def producer():
         try:
             for item in iterable:
-                while not stop.is_set():
-                    try:
-                        q.put(item, timeout=0.1)
-                        break
-                    except queue.Full:
-                        continue
-                if stop.is_set():
+                if not _put(item):
                     return
-            q.put(_END)
+            _put(_END)
         except BaseException as e:  # re-raise in the consumer
-            q.put(e)
+            _put(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -213,12 +228,21 @@ def prefetch_iterator(iterable, depth: int = 3):
         stop.set()
 
 
-def aggregate_device_trace(trace_dir: str):
+def aggregate_device_trace(trace_dir: str, level: str = "ops"):
     """Aggregate per-op device time from a ``jax.profiler`` trace dir.
 
     Reads the newest ``*.trace.json.gz`` under ``trace_dir``, keeps
     complete events on TPU-device processes, and sums duration by op
     name. Shared by bench.py and the tools/*_profile.py scripts.
+
+    TPU traces carry BOTH per-op rows and whole-executable envelope
+    rows (``jit_*`` on an "XLA Modules" thread) under each device pid;
+    summing every event double-counts. ``level`` selects:
+
+    - ``"ops"`` (default): exclude module-envelope threads -- accurate
+      per-op totals;
+    - ``"modules"``: only the module envelopes (per-call totals);
+    - ``"all"``: everything (double counts; raw view).
 
     :return: (collections.Counter op_name -> total ms, total_ms)
     """
@@ -238,10 +262,24 @@ def aggregate_device_trace(trace_dir: str):
                  and "args" in e}
     tpu_pids = {p for p, nm in pid_names.items()
                 if "TPU" in nm or "/device" in nm.lower()}
+    thread_names = {(e["pid"], e.get("tid")): e["args"].get("name", "")
+                    for e in events
+                    if e.get("ph") == "M"
+                    and e.get("name") == "thread_name" and "args" in e}
+
+    def keep(e):
+        if e.get("ph") != "X" or e.get("pid") not in tpu_pids:
+            return False
+        if level == "all":
+            return True
+        tname = thread_names.get((e["pid"], e.get("tid")), "")
+        is_module = "Module" in tname
+        return is_module if level == "modules" else not is_module
+
     agg = collections.Counter()
     total = 0.0
     for e in events:
-        if e.get("ph") == "X" and e.get("pid") in tpu_pids:
+        if keep(e):
             ms = e.get("dur", 0) / 1e3
             agg[e.get("name", "?")] += ms
             total += ms

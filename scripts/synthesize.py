@@ -133,8 +133,7 @@ def synthesize(args):
     # pair generated outputs with their style references for evaluation
     pairs_file = os.path.join(args.output_dir, "ref_generated_pairs.txt")
     with open(pairs_file, "w", encoding="utf-8") as f:
-        for name, ref in zip(file_names, refs):
-            spk = speaker_ids[file_names.index(name)]
+        for name, ref, spk in zip(file_names, refs, speaker_ids):
             gen = f"{name}_spk_{spk}_ref_" \
                   f"{os.path.basename(ref).replace('.npz', '')}"
             f.write(f"{ref.replace('.npz', '.wav')}|"

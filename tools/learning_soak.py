@@ -69,7 +69,7 @@ hp.batch_size = 2
 hp.accumulation_steps = 1
 hp.iters_per_checkpoint = 100000
 hp.iters_check_for_model_improvement = 500
-hp.learning_rate_max = 1e-3
+hp.max_learning_rate = 1e-3
 
 losses = {}
 class Probe(Trainer):
