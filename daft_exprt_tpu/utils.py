@@ -240,7 +240,10 @@ def aggregate_device_trace(trace_dir: str, level: str = "ops"):
     summing every event double-counts. ``level`` selects:
 
     - ``"ops"`` (default): exclude module-envelope threads -- accurate
-      per-op totals;
+      per-op totals for straight-line programs (control-flow regions
+      like lax.scan/while still appear as enclosing rows, so treat
+      totals as an upper bound there and read the per-op rows
+      relatively);
     - ``"modules"``: only the module envelopes (per-call totals);
     - ``"all"``: everything (double counts; raw view).
 

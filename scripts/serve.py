@@ -1,0 +1,285 @@
+"""Production TTS serving: HTTP endpoint over the cached-FiLM engine.
+
+One process per chip; the style bank's FiLM parameters are cached at
+warmup so steady-state requests skip the prosody encoder (~60% of
+inference work), and waveforms come from the on-chip HiFi-GAN (or
+Griffin-Lim previews without --vocoder). Stdlib-only HTTP so the
+server adds no dependencies.
+
+    python scripts/serve.py --checkpoint trainings/exp/checkpoints/DaftExprt_best \
+        --style_bank scripts/style_bank/english [--vocoder g_02500000] \
+        [--port 8080]
+
+API:
+    GET  /health              -> {"status": "ok", ...}
+    GET  /styles              -> {"styles": [...], "speakers": N}
+    POST /synthesize          -> audio/wav bytes
+         JSON body: {"text": "Hello world.",          (or "{HH AH0} ~")
+                     "speaker_id": 0,
+                     "style": "<style name>",          (default: first)
+                     "dur_factor": 1.0,                (scalar or list)
+                     "energy_factor": 1.0,
+                     "pitch_factor": 0.0,
+                     "pitch_transform": "add"}         (or "multiply")
+         Response headers carry X-Mel-Frames and X-Synthesis-Seconds.
+
+The batched path (scripts/synthesize.py) stays the right tool for bulk
+generation; this server optimizes single-utterance latency with
+per-style executable reuse.
+"""
+
+import argparse
+import io
+import json
+import logging
+import os
+import sys
+import threading
+import time
+import wave
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _enable_compile_cache():
+    import jax
+    cache = os.environ.get("DAFT_EXPRT_COMPILE_CACHE",
+                           "/tmp/daft_exprt_jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+
+_logger = logging.getLogger("daft_exprt_tpu.serve")
+
+
+class SynthesisService:
+    """Loads the model + style bank and synthesizes one utterance."""
+
+    def __init__(self, checkpoint: str, style_bank: str,
+                 vocoder: str = "", vocoder_config: str | None = None,
+                 default_speaker: int = 0):
+        from synthesize import load_any_checkpoint
+
+        from daft_exprt_tpu.inference.generate import (
+            InferenceEngine, extract_reference_parameters)
+        from daft_exprt_tpu.models.daft_exprt import DaftExprt
+
+        self.params, self.hp = load_any_checkpoint(checkpoint)
+        self.model = DaftExprt(self.hp)
+        self.engine = InferenceEngine(self.model, self.params, self.hp)
+        self.default_speaker = default_speaker
+        self.lock = threading.Lock()  # one chip, serialized dispatch
+
+        # style bank: accept .wav (features extracted once) and .npz
+        for f in sorted(os.listdir(style_bank)):
+            if f.endswith(".wav"):
+                extract_reference_parameters(
+                    os.path.join(style_bank, f), style_bank, self.hp)
+        self.styles = {
+            os.path.splitext(f)[0]: os.path.join(style_bank, f)
+            for f in sorted(os.listdir(style_bank)) if f.endswith(".npz")}
+        if not self.styles:
+            raise FileNotFoundError(f"no style references in {style_bank}")
+
+        self.vocoder = None
+        if vocoder:
+            from daft_exprt_tpu.vocoder.hifigan import load_generator
+            self.vocoder = load_generator(vocoder, vocoder_config)
+
+    # ------------------------------------------------------------------
+    def synthesize(self, text: str, speaker_id: int | None = None,
+                   style: str | None = None, dur_factor=None,
+                   energy_factor=None, pitch_factor=None,
+                   pitch_transform: str = "add"):
+        """-> (wav float32 ndarray, mel frames, synth seconds)."""
+        import numpy as np
+
+        from daft_exprt_tpu.inference.generate import \
+            collate_inference_batch
+        from daft_exprt_tpu.text.phonemizer import (
+            parse_phonemized_line, phonemize_sentence)
+
+        speaker_id = self.default_speaker if speaker_id is None \
+            else int(speaker_id)
+        if speaker_id not in self.hp.speakers_id:
+            raise ValueError(f"unknown speaker_id {speaker_id}")
+        style = style or next(iter(self.styles))
+        if style not in self.styles:
+            raise ValueError(f'unknown style "{style}" '
+                             f"(have: {sorted(self.styles)})")
+        if pitch_transform not in ("add", "multiply"):
+            raise ValueError(f"bad pitch_transform {pitch_transform!r}")
+
+        # "{HH AH0} ..." pre-phonemized input needs no MFA dictionary
+        if "{" in text:
+            sentence = parse_phonemized_line(text)
+        else:
+            sentence = phonemize_sentence(text, self.hp)
+        n_sym = sum(len(x) if isinstance(x, list) else 1
+                    for x in sentence)
+
+        def expand(f, neutral):
+            if f is None:
+                return None
+            if isinstance(f, (int, float)):
+                return [[float(f)] * n_sym]
+            assert len(f) == n_sym, (len(f), n_sym)
+            return [[float(v) for v in f]]
+
+        t0 = time.perf_counter()
+        inputs, _ = collate_inference_batch(
+            [sentence], expand(dur_factor, 1.0),
+            expand(energy_factor, 1.0),
+            expand(pitch_factor, 0.0 if pitch_transform == "add" else 1.0),
+            pitch_transform, [self.styles[style]], [speaker_id], self.hp)
+        with self.lock:
+            encoder_preds, decoder_preds, _ = self.engine.run_cached(
+                inputs, pitch_transform, [(style, speaker_id)])
+        mel_preds, out_lens = decoder_preds
+        mel = np.asarray(mel_preds)[0, :, :int(out_lens[0])]
+
+        if self.vocoder is not None:
+            from daft_exprt_tpu.vocoder.hifigan import vocode_mels
+            gen, vparams = self.vocoder
+            with self.lock:
+                wav = vocode_mels(gen, vparams, [mel],
+                                  bucket=self.hp.frame_bucket)[0]
+        else:
+            from daft_exprt_tpu.audio.griffin_lim import \
+                griffin_lim_reconstruction_from_mel_spec
+            wav = griffin_lim_reconstruction_from_mel_spec(mel, self.hp)
+        return np.asarray(wav, np.float32), mel.shape[1], \
+            time.perf_counter() - t0
+
+    def warmup(self):
+        """Compile the serving executables before accepting traffic.
+
+        Pre-phonemized so warmup works without the MFA dictionary.
+        """
+        t0 = time.perf_counter()
+        self.synthesize("{DH IH1 S} {IH1 Z} {AH0} "
+                        "{W AO1 R M AH0 P} {S EH1 N T AH0 N S}.")
+        _logger.info(
+            f"warmup compile done in {time.perf_counter() - t0:.1f}s")
+
+
+def wav_bytes(wav, sampling_rate: int) -> bytes:
+    """float32 [-1, 1] -> RIFF/WAV (16-bit PCM) bytes."""
+    import numpy as np
+    pcm = np.clip(wav, -1.0, 1.0)
+    pcm = (pcm * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sampling_rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def make_handler(service: "SynthesisService"):
+    from http.server import BaseHTTPRequestHandler
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def _json(self, code: int, obj: dict):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._json(200, {
+                    "status": "ok",
+                    "styles": len(service.styles),
+                    "speakers": len(service.hp.speakers),
+                    "vocoder": service.vocoder is not None})
+            elif self.path == "/styles":
+                self._json(200, {
+                    "styles": sorted(service.styles),
+                    "speakers": list(map(int, service.hp.speakers_id))})
+            else:
+                self._json(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/synthesize":
+                self._json(404, {"error": f"no route {self.path}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                text = req.get("text")
+                if not text:
+                    raise ValueError('missing "text"')
+                wav, frames, seconds = service.synthesize(
+                    text, speaker_id=req.get("speaker_id"),
+                    style=req.get("style"),
+                    dur_factor=req.get("dur_factor"),
+                    energy_factor=req.get("energy_factor"),
+                    pitch_factor=req.get("pitch_factor"),
+                    pitch_transform=req.get("pitch_transform", "add"))
+            except (ValueError, AssertionError, KeyError,
+                    json.JSONDecodeError) as e:
+                self._json(400, {"error": str(e)})
+                return
+            except Exception as e:  # noqa: BLE001 -- surface as 500
+                logging.exception("synthesis failed")
+                self._json(500, {"error": str(e)})
+                return
+            body = wav_bytes(wav, service.hp.sampling_rate)
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("X-Mel-Frames", str(frames))
+            self.send_header("X-Synthesis-Seconds", f"{seconds:.4f}")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, fmt, *args):
+            _logger.info("%s -- %s", self.address_string(), fmt % args)
+
+    return Handler
+
+
+def serve(service: "SynthesisService", host: str, port: int):
+    from http.server import ThreadingHTTPServer
+
+    service.warmup()
+    httpd = ThreadingHTTPServer((host, port), make_handler(service))
+    _logger.info(f"serving on http://{host}:{port}")
+    return httpd
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Daft-Exprt TTS server")
+    parser.add_argument("--checkpoint", required=True)
+    parser.add_argument("--style_bank", required=True,
+                        help="directory of style .wav/.npz references")
+    parser.add_argument("--vocoder", default="",
+                        help="HiFi-GAN checkpoint (torch g_* or our "
+                        "Vocoder_*); default: Griffin-Lim previews")
+    parser.add_argument("--vocoder_config", default=None)
+    parser.add_argument("--default_speaker", type=int, default=0)
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8080)
+    args = parser.parse_args()
+
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(message)s")
+    _enable_compile_cache()
+    service = SynthesisService(
+        args.checkpoint, args.style_bank, vocoder=args.vocoder,
+        vocoder_config=args.vocoder_config,
+        default_speaker=args.default_speaker)
+    serve(service, args.host, args.port).serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,117 @@
+"""HTTP serving endpoint: scripts/serve.py end-to-end."""
+
+import http.client
+import io
+import json
+import os
+import sys
+import threading
+import wave
+
+import jax
+import numpy as np
+import pytest
+
+from helpers import tiny_hparams
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                "scripts"))
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    import serve as srv
+
+    from tools.convert_checkpoint import save_converted_checkpoint
+
+    from daft_exprt_tpu.audio.io import save_wav
+    from daft_exprt_tpu.models.daft_exprt import DaftExprt
+
+    root = tmp_path_factory.mktemp("serve")
+    hp = tiny_hparams(speakers=["spk_a", "spk_b"])
+    hp.stats = {
+        f"spk {i}": {
+            "pitch": {"mean": float(np.log(180.0)), "std": 0.25,
+                      "min": 4.0, "max": 6.0},
+            "energy": {"mean": 3.0, "std": 1.0, "min": 0.0, "max": 9.0},
+        } for i in hp.speakers_id}
+    model = DaftExprt(hp)
+    params = model.init_params(jax.random.PRNGKey(0))
+    ckpt_dir = str(root / "converted")
+    save_converted_checkpoint(ckpt_dir, params, dict(hp.as_dict()))
+
+    style_dir = str(root / "style_bank")
+    os.makedirs(style_dir)
+    t = np.arange(int(1.5 * hp.sampling_rate)) / hp.sampling_rate
+    phase = 2 * np.pi * np.cumsum(170 + 20 * np.sin(2 * np.pi * t)) \
+        / hp.sampling_rate
+    save_wav(os.path.join(style_dir, "calm.wav"),
+             (0.5 * np.sin(phase)).astype(np.float32), hp.sampling_rate)
+
+    service = srv.SynthesisService(ckpt_dir, style_dir)
+    httpd = srv.serve(service, "127.0.0.1", 0)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield httpd.server_address[1], hp
+    httpd.shutdown()
+
+
+def _request(port, method, path, body=None):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+    headers = {"Content-Type": "application/json"} if body else {}
+    conn.request(method, path,
+                 body=json.dumps(body) if body else None, headers=headers)
+    resp = conn.getresponse()
+    data = resp.read()
+    conn.close()
+    return resp, data
+
+
+def test_health_and_styles(server):
+    port, hp = server
+    resp, data = _request(port, "GET", "/health")
+    assert resp.status == 200
+    health = json.loads(data)
+    assert health["status"] == "ok" and health["styles"] == 1
+
+    resp, data = _request(port, "GET", "/styles")
+    styles = json.loads(data)
+    assert styles["styles"] == ["calm"]
+    assert styles["speakers"] == list(hp.speakers_id)
+
+    resp, _ = _request(port, "GET", "/nope")
+    assert resp.status == 404
+
+
+def test_synthesize_returns_wav(server):
+    port, hp = server
+    resp, data = _request(port, "POST", "/synthesize", {
+        "text": "{HH AH0 L OW1} {W ER1 L D}", "speaker_id": 1,
+        "style": "calm", "dur_factor": 1.25, "pitch_factor": 20.0})
+    assert resp.status == 200, data
+    assert resp.getheader("Content-Type") == "audio/wav"
+    assert int(resp.getheader("X-Mel-Frames")) > 0
+    with wave.open(io.BytesIO(data)) as w:
+        assert w.getframerate() == hp.sampling_rate
+        assert w.getnchannels() == 1
+        frames = w.readframes(w.getnframes())
+    pcm = np.frombuffer(frames, "<i2")
+    assert len(pcm) > 0 and np.abs(pcm).max() > 0
+
+
+def test_synthesize_error_handling(server):
+    port, _ = server
+    resp, data = _request(port, "POST", "/synthesize", {})
+    assert resp.status == 400 and b"text" in data
+
+    resp, data = _request(port, "POST", "/synthesize", {
+        "text": "{HH AH0}", "style": "angry"})
+    assert resp.status == 400 and b"angry" in data
+
+    resp, data = _request(port, "POST", "/synthesize", {
+        "text": "{HH AH0}", "speaker_id": 99})
+    assert resp.status == 400 and b"99" in data
+
+    resp, data = _request(port, "POST", "/synthesize", {
+        "text": "{HH AH0}", "pitch_transform": "subtract"})
+    assert resp.status == 400

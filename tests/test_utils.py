@@ -1,0 +1,153 @@
+"""Host utilities: pool fan-out, prefetch, trace aggregation."""
+
+import gzip
+import json
+import os
+import time
+
+import numpy as np
+import pytest
+
+from daft_exprt_tpu.utils import (aggregate_device_trace, chunker,
+                                  launch_multi_process,
+                                  prefetch_iterator, worker_logger)
+
+
+def _square(x, log_queue):
+    logger = worker_logger(log_queue)
+    logger.info(f"processing {x}")
+    return x * x
+
+
+def _boom(x, log_queue):
+    worker_logger(log_queue)
+    if x == 3:
+        raise ValueError("boom")
+    return x
+
+
+def test_launch_multi_process_results_ordered():
+    out = launch_multi_process(list(range(10)), _square, n_jobs=2,
+                               timer_verbose=False)
+    assert out == [x * x for x in range(10)]
+
+
+def test_launch_multi_process_worker_exception_propagates():
+    """A worker exception must re-raise promptly (and not deadlock the
+    log listener thread, which would hang interpreter shutdown)."""
+    t0 = time.time()
+    with pytest.raises(ValueError, match="boom"):
+        launch_multi_process(list(range(6)), _boom, n_jobs=2,
+                             timer_verbose=False)
+    assert time.time() - t0 < 30
+
+
+def test_prefetch_iterator_full_drain():
+    assert list(prefetch_iterator(iter(range(100)), depth=3)) \
+        == list(range(100))
+
+
+def test_prefetch_iterator_early_exit_unblocks_producer():
+    """Breaking out early must stop the producer even when it is
+    blocked on a full queue (including the end-sentinel put)."""
+    produced = []
+
+    def gen():
+        for i in range(5):
+            produced.append(i)
+            yield i
+        # generator exhausted: producer then puts the end sentinel
+
+    it = prefetch_iterator(gen(), depth=1)
+    first = next(it)
+    assert first == 0
+    it.close()  # consumer abandons; stop event fires in finally
+    time.sleep(0.5)
+    assert len(produced) <= 5  # producer did not spin forever
+
+
+def test_prefetch_iterator_exception_reraises():
+    def gen():
+        yield 1
+        raise RuntimeError("producer failed")
+
+    it = prefetch_iterator(gen(), depth=2)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="producer failed"):
+        next(it)
+
+
+def test_chunker():
+    assert [list(c) for c in chunker(list(range(7)), 3)] \
+        == [[0, 1, 2], [3, 4, 5], [6]]
+
+
+def _write_trace(tmp_path):
+    """Synthetic trace: one TPU pid with an ops thread and a modules
+    thread whose envelope spans the ops (the double-count shape)."""
+    events = [
+        {"ph": "M", "pid": 7, "name": "process_name",
+         "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "pid": 7, "tid": 1, "name": "thread_name",
+         "args": {"name": "XLA Ops"}},
+        {"ph": "M", "pid": 7, "tid": 2, "name": "thread_name",
+         "args": {"name": "XLA Modules"}},
+        {"ph": "M", "pid": 9, "name": "process_name",
+         "args": {"name": "python host"}},
+        # 2 ops totalling 3 ms + the 3 ms jit envelope
+        {"ph": "X", "pid": 7, "tid": 1, "name": "fusion.1", "dur": 1000},
+        {"ph": "X", "pid": 7, "tid": 1, "name": "fusion.2", "dur": 2000},
+        {"ph": "X", "pid": 7, "tid": 2, "name": "jit_step(123)",
+         "dur": 3000},
+        # host event must never count
+        {"ph": "X", "pid": 9, "tid": 1, "name": "host_work", "dur": 9000},
+    ]
+    d = tmp_path / "plugins" / "profile" / "run"
+    os.makedirs(d)
+    with gzip.open(str(d / "vm.trace.json.gz"), "wt") as f:
+        json.dump({"traceEvents": events}, f)
+    return str(tmp_path)
+
+
+def test_aggregate_device_trace_levels(tmp_path):
+    trace_dir = _write_trace(tmp_path)
+    agg, total = aggregate_device_trace(trace_dir)  # default: ops
+    assert total == pytest.approx(3.0)
+    assert set(agg) == {"fusion.1", "fusion.2"}
+
+    agg, total = aggregate_device_trace(trace_dir, level="modules")
+    assert total == pytest.approx(3.0)
+    assert set(agg) == {"jit_step(123)"}
+
+    agg, total = aggregate_device_trace(trace_dir, level="all")
+    assert total == pytest.approx(6.0)  # the double-counted raw view
+
+    with pytest.raises(FileNotFoundError):
+        aggregate_device_trace(str(tmp_path / "nope"))
+
+
+def test_progress_bar_width():
+    from daft_exprt_tpu.utils import _progress
+    import io
+    import sys
+    buf = io.StringIO()
+    old = sys.stdout
+    sys.stdout = buf
+    try:
+        t0 = time.time()
+        for i in range(4):
+            _progress(i, 4, t0, bar_size=8)
+    finally:
+        sys.stdout = old
+    frames = [f for f in buf.getvalue().split("\r") if f]
+    for f in frames:
+        bar = f.split(" ")[0]
+        assert len(bar) == 8, f
+    assert frames[-1].startswith("########")
+
+
+def test_np_import_guard():
+    # numpy use in this module stays import-light (no jax at import)
+    import daft_exprt_tpu.utils as u
+    assert not hasattr(u, "jax")
+    assert np is not None
