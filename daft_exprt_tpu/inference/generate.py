@@ -264,7 +264,11 @@ class InferenceEngine:
                  np.ones((B,), np.int32))
         slim = tuple(inputs[:5]) + dummy + (inputs[9],)
         out = self._synth_fn(pitch_transform)(self.params, slim, films)
-        return jax.tree.map(np.asarray, out)
+        # device_get pipelines the D2H copies (async per leaf, then
+        # gather) -- per-leaf np.asarray would pay one synchronous
+        # round trip per output array, which dominates single-utterance
+        # latency on high-RTT links
+        return jax.device_get(out)
 
     def _fn_film(self):
         if "film" not in self._compiled:
@@ -286,7 +290,7 @@ class InferenceEngine:
             inputs = tuple(shard_batch(self.mesh, list(inputs),
                                        batch_axis=0))
         out = self._fn(pitch_transform)(self.params, inputs)
-        out = jax.tree.map(np.asarray, out)
+        out = jax.device_get(out)  # pipelined D2H (see run_cached)
         return jax.tree.map(lambda x: x[:B], out)
 
 
