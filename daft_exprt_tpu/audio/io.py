@@ -46,8 +46,12 @@ def load_wav(path: str, target_sr: int | None = None) -> tuple[np.ndarray, int]:
     return wav, sr
 
 
-def save_wav(path: str, wav: np.ndarray, sampling_rate: int):
-    """Save float32 [-1, 1] (or int16) audio to a 16-bit PCM wav file."""
+def save_wav(path, wav: np.ndarray, sampling_rate: int):
+    """Save float32 [-1, 1] (or int16) audio to a 16-bit PCM wav.
+
+    ``path`` is a filename or an open binary file object (e.g. an
+    io.BytesIO for in-memory serialization by the serving endpoint).
+    """
     if wav.dtype != np.int16:
         wav = np.clip(wav, -1.0, 1.0)
         wav = (wav * 32767.0).astype(np.int16)

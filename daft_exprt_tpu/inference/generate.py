@@ -109,7 +109,11 @@ def collate_inference_batch(batch_sentences, batch_dur_factors,
     """
     hp = hparams
     sym_seqs = [encode_symbols(s, hp) for s in batch_sentences]
-    refs = [np.load(r) for r in batch_refs]
+    # refs: .npz paths, or preloaded {energy, pitch, mel_spec} arrays
+    # (servers preload their style bank once instead of re-reading the
+    # file every request)
+    refs = [np.load(r) if isinstance(r, (str, os.PathLike)) else r
+            for r in batch_refs]
     B = len(sym_seqs)
     B_pad = pad_batch_to or B
     L = bucket_size(max(len(s) for s in sym_seqs), hp.symbol_bucket,
@@ -231,7 +235,7 @@ class InferenceEngine:
             k is not None and k not in self._film_cache for k in film_keys)
         if missing:
             computed = self._fn_film()(self.params, *inputs[5:10])
-            computed = jax.tree.map(np.asarray, computed)
+            computed = jax.device_get(computed)  # pipelined D2H
             rows = []
             for row, k in enumerate(film_keys):
                 row_film = tuple(f[row] for f in computed)

@@ -254,6 +254,7 @@ def aggregate_device_trace(trace_dir: str, level: str = "ops"):
     import gzip
     import json
 
+    assert level in ("ops", "modules", "all"), level
     files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
     if not files:
         raise FileNotFoundError(f"no trace under {trace_dir}")

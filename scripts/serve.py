@@ -36,7 +36,6 @@ import os
 import sys
 import threading
 import time
-import wave
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
@@ -73,14 +72,18 @@ class SynthesisService:
         self.default_speaker = default_speaker
         self.lock = threading.Lock()  # one chip, serialized dispatch
 
-        # style bank: accept .wav (features extracted once) and .npz
+        # style bank: accept .wav (features extracted once) and .npz;
+        # loaded into memory once -- requests never touch the disk
+        import numpy as np
         for f in sorted(os.listdir(style_bank)):
             if f.endswith(".wav"):
                 extract_reference_parameters(
                     os.path.join(style_bank, f), style_bank, self.hp)
-        self.styles = {
-            os.path.splitext(f)[0]: os.path.join(style_bank, f)
-            for f in sorted(os.listdir(style_bank)) if f.endswith(".npz")}
+        self.styles = {}
+        for f in sorted(os.listdir(style_bank)):
+            if f.endswith(".npz"):
+                with np.load(os.path.join(style_bank, f)) as z:
+                    self.styles[os.path.splitext(f)[0]] = dict(z)
         if not self.styles:
             raise FileNotFoundError(f"no style references in {style_bank}")
 
@@ -113,28 +116,37 @@ class SynthesisService:
         if pitch_transform not in ("add", "multiply"):
             raise ValueError(f"bad pitch_transform {pitch_transform!r}")
 
+        if not isinstance(text, str):
+            raise ValueError('"text" must be a string')
         # "{HH AH0} ..." pre-phonemized input needs no MFA dictionary
         if "{" in text:
+            from daft_exprt_tpu.symbols import EOS
             sentence = parse_phonemized_line(text)
+            if not sentence or sentence[-1] != EOS:
+                # the model only ever sees EOS-terminated sequences
+                sentence.append(EOS)
         else:
             sentence = phonemize_sentence(text, self.hp)
         n_sym = sum(len(x) if isinstance(x, list) else 1
                     for x in sentence)
 
-        def expand(f, neutral):
+        def expand(f):
+            """scalar -> per-symbol list; list -> validated as-is."""
             if f is None:
                 return None
             if isinstance(f, (int, float)):
                 return [[float(f)] * n_sym]
-            assert len(f) == n_sym, (len(f), n_sym)
+            if len(f) != n_sym:
+                raise ValueError(
+                    f"factor list has {len(f)} entries for {n_sym} "
+                    "symbols")
             return [[float(v) for v in f]]
 
         t0 = time.perf_counter()
         inputs, _ = collate_inference_batch(
-            [sentence], expand(dur_factor, 1.0),
-            expand(energy_factor, 1.0),
-            expand(pitch_factor, 0.0 if pitch_transform == "add" else 1.0),
-            pitch_transform, [self.styles[style]], [speaker_id], self.hp)
+            [sentence], expand(dur_factor), expand(energy_factor),
+            expand(pitch_factor), pitch_transform,
+            [self.styles[style]], [speaker_id], self.hp)
         with self.lock:
             encoder_preds, decoder_preds, _ = self.engine.run_cached(
                 inputs, pitch_transform, [(style, speaker_id)])
@@ -167,16 +179,11 @@ class SynthesisService:
 
 
 def wav_bytes(wav, sampling_rate: int) -> bytes:
-    """float32 [-1, 1] -> RIFF/WAV (16-bit PCM) bytes."""
-    import numpy as np
-    pcm = np.clip(wav, -1.0, 1.0)
-    pcm = (pcm * 32767.0).astype("<i2")
+    """float32 [-1, 1] -> RIFF/WAV (16-bit PCM) bytes (same encoder as
+    the file outputs: audio.io.save_wav into a BytesIO)."""
+    from daft_exprt_tpu.audio.io import save_wav
     buf = io.BytesIO()
-    with wave.open(buf, "wb") as w:
-        w.setnchannels(1)
-        w.setsampwidth(2)
-        w.setframerate(sampling_rate)
-        w.writeframes(pcm.tobytes())
+    save_wav(buf, wav, sampling_rate)
     return buf.getvalue()
 
 
@@ -215,6 +222,8 @@ def make_handler(service: "SynthesisService"):
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
+                if not isinstance(req, dict):
+                    raise ValueError("request body must be a JSON object")
                 text = req.get("text")
                 if not text:
                     raise ValueError('missing "text"')

@@ -115,3 +115,20 @@ def test_synthesize_error_handling(server):
     resp, data = _request(port, "POST", "/synthesize", {
         "text": "{HH AH0}", "pitch_transform": "subtract"})
     assert resp.status == 400
+
+
+def test_synthesize_request_validation(server):
+    port, _ = server
+    # valid JSON but not an object -> 400, not 500
+    resp, data = _request(port, "POST", "/synthesize", "just a string")
+    assert resp.status == 400 and b"JSON object" in data
+
+    resp, data = _request(port, "POST", "/synthesize",
+                          {"text": 123})
+    assert resp.status == 400 and b"string" in data
+
+    # factor list with wrong symbol count -> 400
+    resp, data = _request(port, "POST", "/synthesize", {
+        "text": "{HH AH0}", "dur_factor": [1.0, 2.0, 3.0, 4.0, 5.0,
+                                           6.0, 7.0]})
+    assert resp.status == 400 and b"symbols" in data
