@@ -368,7 +368,14 @@ def fft_block_init(rng, embed_dim, num_heads, conv_channels, kernel):
 def fft_block_apply(params, x, film_params, valid_mask, *, num_heads,
                     attn_dropout, conv_dropout, rng, deterministic,
                     dtype=jnp.float32):
-    """:param valid_mask: (B, T) bool, True for real positions."""
+    """:param valid_mask: (B, T) bool, True for real positions.
+
+    CONTRACT: valid_mask must be contiguous-from-zero (it is everywhere
+    in this model -- every call site builds it with mask_from_lengths).
+    The fused kernel collapses the mask to a per-row length; a mask
+    with interior holes would be honored by the XLA branch below but
+    silently mis-attended by the fused branch.
+    """
     T, E = x.shape[1], x.shape[2]
     kernel = params["ff"]["conv1"]["w"].shape[0]
     C = params["ff"]["conv1"]["w"].shape[2]

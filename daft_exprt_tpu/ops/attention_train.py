@@ -231,7 +231,7 @@ def _fwd_call(q, k, v, lengths, seeds, num_heads, rate,
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * B * T * T * E,
             bytes_accessed=4 * B * T * E * 4,
-            transcendentals=B * T * T),
+            transcendentals=B * num_heads * T * T),
         interpret=interpret,
     )(lengths, seeds, q, k, v)
 
@@ -258,7 +258,7 @@ def _bwd_call(q, k, v, g, lengths, seeds, num_heads, rate,
         cost_estimate=pl.CostEstimate(
             flops=5 * 2 * B * T * T * E,
             bytes_accessed=7 * B * T * E * 4,
-            transcendentals=B * T * T),
+            transcendentals=B * num_heads * T * T),
         interpret=interpret,
     )(lengths, seeds, q, k, v, g)
 

@@ -225,7 +225,7 @@ def _fused_fft_block(x, wq, bq, wk, bk, wv, bv, wo, bo, ln1_s, ln1_b,
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=2 * B * T * E * 4 + (4 * E * E + 6 * E * C) * 4,
-            transcendentals=B * T * T),
+            transcendentals=B * num_heads * T * T),
         interpret=interpret,
     )(lengths, x, wq, bq, wk, bk, wv, bv, wo, bo, ln1_s, ln1_b,
       w1, b1, w2, b2, ln2_s, ln2_b, film)

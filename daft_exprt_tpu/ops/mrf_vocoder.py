@@ -10,7 +10,13 @@ time-blocked layout (vocoder/hifigan.py) fixes the lane padding.
 This kernel computes the ENTIRE MRF — every resblock chain
 (leaky -> conv -> [leaky -> conv] -> residual, per dilation) and the
 final average — for one input tile per grid step, with every
-intermediate VMEM-resident. Input and output touch HBM exactly once.
+intermediate VMEM-resident: the 18 inter-conv activations never touch
+HBM. (The input itself still crosses HBM more than once: an
+overlapped halo-tile copy is materialized before the kernel — see
+``x_tiles`` below — so the removed traffic is the intermediates', not
+the input's. An in-kernel DMA of tile+halo from an ANY-space input
+would remove that copy too; not done because the kernel is
+VPU-relayout-bound, not HBM-bound, at these shapes.)
 
 Convs are expressed as tap lists over the time-blocked layout
 (R * C = 128 lanes): each conv is a set of static (offset, 128x128
@@ -46,7 +52,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LRELU_SLOPE = 0.1
+# parity-critical: must equal the staged path's slope
+from daft_exprt_tpu.vocoder.hifigan import LRELU_SLOPE
+
 LANE = 128
 
 

@@ -37,7 +37,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-LRELU_SLOPE = 0.1
+# parity-critical: same activation slope as the generator
+from daft_exprt_tpu.vocoder.hifigan import LRELU_SLOPE  # noqa: F401
 
 MPD_PERIODS = (2, 3, 5, 7, 11)
 MPD_CHANNELS = (32, 128, 512, 1024)
