@@ -113,9 +113,12 @@ class HiFiGanGenerator:
     def init_params(self, rng):
         cfg = self.cfg
         ch0 = cfg["upsample_initial_channel"]
-        n_res = self.num_upsamples * self.num_kernels
-        keys = iter(jax.random.split(rng, 2 + self.num_upsamples
-                                     + 6 * n_res * 2))
+        convs_per_block = sum(len(d) for d in
+                              cfg["resblock_dilation_sizes"]) \
+            * (2 if self.two_convs else 1)
+        keys = iter(jax.random.split(
+            rng, 2 + self.num_upsamples
+            + self.num_upsamples * convs_per_block))
         params = {"conv_pre": _conv_init(next(keys), 7, cfg["num_mels"],
                                          ch0)}
         ups, resblocks = [], []
@@ -138,7 +141,7 @@ class HiFiGanGenerator:
         return params
 
     # ------------------------------------------------------------------
-    def _resblock(self, params, x, kernel, dilations, dtype):
+    def _resblock(self, params, x, dilations, dtype):
         for j, d in enumerate(dilations):
             xt = jax.nn.leaky_relu(x, LRELU_SLOPE)
             xt = _conv(params["convs1"][j], xt, dilation=d, dtype=dtype)
@@ -165,7 +168,6 @@ class HiFiGanGenerator:
             for j in range(self.num_kernels):
                 r = self._resblock(
                     params["resblocks"][i * self.num_kernels + j], x,
-                    cfg["resblock_kernel_sizes"][j],
                     cfg["resblock_dilation_sizes"][j], dtype)
                 acc = r if acc is None else acc + r
             x = acc / self.num_kernels
@@ -500,13 +502,21 @@ def _prepared_vocoder(gen: HiFiGanGenerator, params, dtype, blocked):
     """Cache (jitted fn, weight pytree, time multiple) on the
     generator, keyed by params identity — repeated vocode_mels calls
     reuse the blocked weight transform and the compiled executables.
+
+    Each entry pins the params dict it was built from (so a freed
+    dict's id can never alias a new one) and the cache is a small LRU:
+    callers that pass a fresh params dict per call (e.g. vocoding at
+    every fine-tune checkpoint) don't accumulate executables and
+    blocked weight copies without bound.
     """
     cache = getattr(gen, "_vocode_cache", None)
     if cache is None:
         cache = gen._vocode_cache = {}
     key = (id(params), jnp.dtype(dtype).name, blocked)
     if key in cache:
-        return cache[key]
+        entry = cache.pop(key)
+        cache[key] = entry  # refresh LRU order
+        return entry[1]
     if blocked:
         from daft_exprt_tpu.ops.mrf_vocoder import mrf_kernel_enabled
         plan, arrays = make_blocked_params(gen, params)
@@ -522,7 +532,9 @@ def _prepared_vocoder(gen: HiFiGanGenerator, params, dtype, blocked):
     else:
         fn = jax.jit(lambda p, m: gen.apply(p, m, dtype=dtype))
         entry = (fn, params, 1)
-    cache[key] = entry
+    cache[key] = (params, entry)
+    while len(cache) > 2:
+        cache.pop(next(iter(cache)))
     return entry
 
 
@@ -584,7 +596,6 @@ def load_torch_generator(checkpoint_path: str, config_path: str = None):
     blob = torch.load(checkpoint_path, map_location="cpu",
                       weights_only=True)
     state = blob.get("generator", blob)
-    state = {k: v for k, v in state.items()}
 
     config = None
     if isinstance(config_path, dict):
@@ -600,10 +611,13 @@ def load_torch_generator(checkpoint_path: str, config_path: str = None):
         _to_conv_transpose(state, f"ups.{i}")
         for i in range(gen.num_upsamples)]
     resblocks = []
+    # official naming: ResBlock1 (two convs) uses convs1/convs2,
+    # ResBlock2 (v3, one conv per dilation) names its list "convs"
+    c1 = "convs1" if gen.two_convs else "convs"
     for i in range(gen.num_upsamples * gen.num_kernels):
         n_dil = len(gen.cfg["resblock_dilation_sizes"][
             i % gen.num_kernels])
-        rb = {"convs1": [_to_conv(state, f"resblocks.{i}.convs1.{j}")
+        rb = {"convs1": [_to_conv(state, f"resblocks.{i}.{c1}.{j}")
                          for j in range(n_dil)]}
         if gen.two_convs:
             rb["convs2"] = [
@@ -673,7 +687,9 @@ def export_torch_state_dict(gen: HiFiGanGenerator, params: dict):
         sd.update(conv(f"ups.{i}", up, transpose=True))
     for i, rb in enumerate(params["resblocks"]):
         for j, c in enumerate(rb["convs1"]):
-            sd.update(conv(f"resblocks.{i}.convs1.{j}", c))
+            # official ResBlock2 names its single conv list "convs"
+            name = "convs1" if "convs2" in rb else "convs"
+            sd.update(conv(f"resblocks.{i}.{name}.{j}", c))
         for j, c in enumerate(rb.get("convs2", [])):
             sd.update(conv(f"resblocks.{i}.convs2.{j}", c))
     return {"generator": sd}

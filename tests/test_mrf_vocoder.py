@@ -20,8 +20,7 @@ LRELU = 0.1
 def _plain_mrf(gen, resblocks, x_plain, kernel_sizes, dilation_sizes):
     acc = None
     for j, rb in enumerate(resblocks):
-        y = gen._resblock(rb, x_plain, kernel_sizes[j],
-                          dilation_sizes[j], jnp.float32)
+        y = gen._resblock(rb, x_plain, dilation_sizes[j], jnp.float32)
         acc = y if acc is None else acc + y
     return acc / len(resblocks)
 

@@ -35,16 +35,22 @@ class TorchResBlock(nn.Module):
     def __init__(self, ch, k, dilations, two_convs=True):
         super().__init__()
         self.two_convs = two_convs
-        self.convs1 = nn.ModuleList([
+        convs1 = nn.ModuleList([
             nn.Conv1d(ch, ch, k, 1, dilation=d,
                       padding=(k - 1) * d // 2) for d in dilations])
         if two_convs:
+            # official ResBlock1 naming
+            self.convs1 = convs1
             self.convs2 = nn.ModuleList([
                 nn.Conv1d(ch, ch, k, 1, dilation=1,
                           padding=(k - 1) // 2) for _ in dilations])
+        else:
+            # official ResBlock2 names its single list "convs"
+            self.convs = convs1
 
     def forward(self, x):
-        for j, c1 in enumerate(self.convs1):
+        convs1 = self.convs1 if self.two_convs else self.convs
+        for j, c1 in enumerate(convs1):
             xt = c1(F.leaky_relu(x, LRELU))
             if self.two_convs:
                 xt = self.convs2[j](F.leaky_relu(xt, LRELU))
@@ -78,10 +84,14 @@ class TorchGenerator(nn.Module):
             self.conv_post = wn(self.conv_post)
             self.ups = nn.ModuleList([wn(m) for m in self.ups])
             for rb in self.resblocks:
-                rb.convs1 = nn.ModuleList([wn(m) for m in rb.convs1])
                 if rb.two_convs:
+                    rb.convs1 = nn.ModuleList(
+                        [wn(m) for m in rb.convs1])
                     rb.convs2 = nn.ModuleList(
                         [wn(m) for m in rb.convs2])
+                else:
+                    rb.convs = nn.ModuleList(
+                        [wn(m) for m in rb.convs])
 
     def forward(self, x):
         x = self.conv_pre(x)
@@ -234,6 +244,28 @@ def test_export_torch_roundtrip(rng_np):
 
     B, T = 2, 16
     mel = rng_np.standard_normal((B, TINY["num_mels"], T)).astype(
+        np.float32)
+    ours = np.asarray(gen.apply(params, mel))
+    with torch.no_grad():
+        theirs = tmodel(torch.from_numpy(mel)).squeeze(1).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+
+def test_export_torch_roundtrip_v3(rng_np):
+    """ResBlock2 (v3) export/load uses the official 'convs' key name."""
+    from daft_exprt_tpu.vocoder.hifigan import export_torch_state_dict
+
+    gen = HiFiGanGenerator(TINY_V3)
+    params = gen.init_params(jax.random.PRNGKey(6))
+    blob = export_torch_state_dict(gen, params)
+    assert any(".convs." in k for k in blob["generator"])
+    assert not any(".convs1." in k for k in blob["generator"])
+
+    tmodel = TorchGenerator(TINY_V3, weight_norm=True)
+    tmodel.load_state_dict(blob["generator"])
+    tmodel.eval()
+    B, T = 2, 16
+    mel = rng_np.standard_normal((B, TINY_V3["num_mels"], T)).astype(
         np.float32)
     ours = np.asarray(gen.apply(params, mel))
     with torch.no_grad():
