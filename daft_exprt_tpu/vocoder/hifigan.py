@@ -248,8 +248,8 @@ class HiFiGanGenerator:
             else:
                 for j, rb in enumerate(sa["resblocks"]):
                     y = self._resblock(
-                        rb, x, self.cfg["resblock_kernel_sizes"][j],
-                        self.cfg["resblock_dilation_sizes"][j], dtype)
+                        rb, x, self.cfg["resblock_dilation_sizes"][j],
+                        dtype)
                     acc = y if acc is None else acc + y
             x = acc / self.num_kernels
         x = jax.nn.leaky_relu(x, LRELU_SLOPE)

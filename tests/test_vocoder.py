@@ -271,3 +271,25 @@ def test_export_torch_roundtrip_v3(rng_np):
     with torch.no_grad():
         theirs = tmodel(torch.from_numpy(mel)).squeeze(1).numpy()
     np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+
+def test_blocked_layout_wide_stage_fallback(rng_np):
+    """Stages with C >= 128 (r = 1) take the plain _resblock fallback
+    inside apply_blocked — the path the full v1 generator's early
+    stages use (regression: a _resblock signature change broke only
+    this caller)."""
+    from daft_exprt_tpu.vocoder.hifigan import make_blocked_params
+    cfg = {"upsample_rates": [2, 2], "upsample_kernel_sizes": [4, 4],
+           "upsample_initial_channel": 512,
+           "resblock_kernel_sizes": [3],
+           "resblock_dilation_sizes": [[1, 3]], "num_mels": 16}
+    gen = HiFiGanGenerator(cfg)
+    params = gen.init_params(jax.random.PRNGKey(4))
+    plan, arrays = make_blocked_params(gen, params)
+    assert not any(s["res_blocked"] for s in plan["stages"])
+    B, T = 1, 8
+    mel = rng_np.standard_normal((B, cfg["num_mels"], T)).astype(
+        np.float32)
+    want = np.asarray(gen.apply(params, mel))
+    got = np.asarray(gen.apply_blocked(plan, arrays, mel))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
