@@ -22,17 +22,30 @@ def adversarial_weight(iteration, warmup_steps: int, adv_max_weight: float):
     return jnp.minimum(adv_max_weight, weight_iter)
 
 
-def cross_entropy(logits, labels):
-    """Mean softmax cross entropy (torch nn.CrossEntropyLoss semantics)."""
+def cross_entropy(logits, labels, row_weights=None):
+    """Mean softmax cross entropy (torch nn.CrossEntropyLoss semantics).
+
+    ``row_weights`` (B,) turns the batch mean into a weighted mean over
+    rows with non-zero weight (used to mask padding rows in remainder
+    validation batches).
+    """
     logits = logits.astype(jnp.float32)
     log_z = jnp.log(jnp.sum(jnp.exp(
         logits - jnp.max(logits, axis=-1, keepdims=True)), axis=-1)) \
         + jnp.max(logits, axis=-1)
     picked = jnp.take_along_axis(logits, labels[:, None], axis=-1)[:, 0]
-    return jnp.mean(log_z - picked)
+    return _row_mean(log_z - picked, row_weights)
 
 
-def compute_loss(outputs, targets, iteration, hp):
+def _row_mean(per_row, row_weights):
+    """Batch mean, or weighted mean over valid rows if weights given."""
+    if row_weights is None:
+        return jnp.mean(per_row)
+    w = row_weights.astype(jnp.float32)
+    return jnp.sum(per_row * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def compute_loss(outputs, targets, iteration, hp, row_weights=None):
     """Compute total training loss and the individual-loss dict.
 
     :param outputs: model.forward outputs (speaker_preds, film_params,
@@ -41,6 +54,9 @@ def compute_loss(outputs, targets, iteration, hp):
                     mel_spec_targets, speaker_ids)
     :param iteration: current optimizer step (scalar, traced)
     :param hp: HyperParams (static)
+    :param row_weights: optional (B,) 0/1 weights; batch means become
+        weighted means over valid rows (padding rows in remainder
+        validation batches contribute nothing)
     """
     (duration_targets, energy_targets, pitch_targets, mel_spec_targets,
      speaker_ids) = targets
@@ -51,7 +67,7 @@ def compute_loss(outputs, targets, iteration, hp):
 
     inv_in_len = 1.0 / input_lengths.astype(jnp.float32)
 
-    speaker_loss = cross_entropy(speaker_preds, speaker_ids)
+    speaker_loss = cross_entropy(speaker_preds, speaker_ids, row_weights)
 
     if hp.post_mult_weight != 0.0:
         post_mult_loss = jnp.sqrt(
@@ -61,7 +77,7 @@ def compute_loss(outputs, targets, iteration, hp):
 
     def _seq_mse(pred, tgt):
         se = jnp.square(pred.astype(jnp.float32) - tgt.astype(jnp.float32))
-        return jnp.mean(jnp.sum(se, axis=1) * inv_in_len)
+        return _row_mean(jnp.sum(se, axis=1) * inv_in_len, row_weights)
 
     duration_loss = _seq_mse(duration_preds, duration_targets)
     energy_loss = _seq_mse(energy_preds, energy_targets)
@@ -70,8 +86,10 @@ def compute_loss(outputs, targets, iteration, hp):
     mel_diff = (mel_spec_preds.astype(jnp.float32)
                 - mel_spec_targets.astype(jnp.float32))
     inv_out = 1.0 / (hp.n_mel_channels * output_lengths.astype(jnp.float32))
-    mel_l1 = jnp.mean(jnp.sum(jnp.abs(mel_diff), axis=(1, 2)) * inv_out)
-    mel_l2 = jnp.mean(jnp.sum(jnp.square(mel_diff), axis=(1, 2)) * inv_out)
+    mel_l1 = _row_mean(jnp.sum(jnp.abs(mel_diff), axis=(1, 2)) * inv_out,
+                       row_weights)
+    mel_l2 = _row_mean(jnp.sum(jnp.square(mel_diff), axis=(1, 2)) * inv_out,
+                       row_weights)
 
     speaker_weight = adversarial_weight(iteration, hp.warmup_steps,
                                         hp.adv_max_weight)

@@ -81,9 +81,9 @@ def make_train_step(model, hp, mesh=None, donate=True):
         dp = mesh.devices.size
         assert hp.batch_size % dp == 0, (
             f"batch_size ({hp.batch_size}) is the GLOBAL micro-batch "
-            f"and must divide the data-parallel size ({dp}); effective "
-            f"batch = batch_size x accumulation_steps (see "
-            f"docs/deployment.md)")
+            f"and must be divisible by the data-parallel size ({dp} "
+            f"devices); effective batch = batch_size x "
+            f"accumulation_steps (see docs/deployment.md)")
 
     def loss_fn(params, micro_batch, rng, iteration):
         outputs = model.forward(params, _batch_to_inputs(micro_batch), rng,
@@ -146,23 +146,38 @@ def make_train_step(model, hp, mesh=None, donate=True):
 
 
 def make_eval_step(model, hp, mesh=None):
-    """Validation step: loss on a (B, ...) batch, no dropout."""
+    """Validation step: loss on a (B, ...) batch, no dropout.
+
+    ``row_mask`` is a (B,) 0/1 array marking real rows: remainder
+    validation batches are padded up to a device multiple by the
+    trainer, and padded rows must not bias the means (the reference
+    validates every sample, train.py:193-233). Metrics are weighted
+    means over valid rows across ALL shards, plus ``count`` = the
+    global number of valid rows (0 if the whole batch is padding).
+    """
     distributed = mesh is not None
 
-    def step(params, batch, rng):
+    def step(params, batch, rng, row_mask):
         outputs = model.forward(params, _batch_to_inputs(batch), rng,
                                 train=False)
         loss, indiv = compute_loss(outputs, _batch_to_targets(batch),
-                                   jnp.array(0, jnp.int32), hp)
+                                   jnp.array(0, jnp.int32), hp,
+                                   row_weights=row_mask)
         indiv = dict(indiv)
         indiv["loss"] = loss
+        n = jnp.sum(row_mask.astype(jnp.float32))
         if distributed:
-            indiv = jax.lax.pmean(indiv, DATA_AXIS)
+            # unequal valid counts per shard: reduce as weighted sums,
+            # then divide by the global count
+            sums = jax.tree.map(lambda v: v * n, indiv)
+            sums, n = jax.lax.psum((sums, n), DATA_AXIS)
+            indiv = jax.tree.map(lambda v: v / jnp.maximum(n, 1.0), sums)
+        indiv["count"] = n
         return indiv
 
     if mesh is None:
         return jax.jit(step)
     sharded = jax.shard_map(step, mesh=mesh,
-                            in_specs=(P(), P(DATA_AXIS), P()),
+                            in_specs=(P(), P(DATA_AXIS), P(), P(DATA_AXIS)),
                             out_specs=P(), check_vma=False)
     return jax.jit(sharded)

@@ -110,12 +110,20 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def validate(self, params, val_loader):
-        """Average eval-step metrics over the validation set."""
-        totals, count = {}, 0
+        """Average eval-step metrics over the validation set.
+
+        Every sample counts (reference train.py:193-233 validates all):
+        remainder batches are padded up to a device multiple by
+        replicating row 0, with a row mask zeroing the padding out of
+        the means and the batch weighted by its true row count.
+        """
+        totals, count = {}, 0.0
         rng = jax.random.PRNGKey(0)
         for batch in val_loader:
             batch = {k: v for k, v in batch.items()
                      if k not in ("feature_dirs", "feature_files")}
+            n_rows = batch["symbols"].shape[0]
+            row_mask = np.ones((n_rows,), np.float32)
             if self.mesh is not None:
                 # every process iterates the full val set, so the
                 # host-local batch must split over the LOCAL devices
@@ -123,15 +131,21 @@ class Trainer:
                 # shard; means over duplicated rows are unchanged)
                 local_dp = max(1, self.mesh.devices.size
                                // jax.process_count())
-                if batch["symbols"].shape[0] % local_dp != 0:
-                    continue  # remainder batch: skip under SPMD
+                pad = -n_rows % local_dp
+                if pad:
+                    batch = {k: np.concatenate(
+                        [v, np.repeat(v[:1], pad, axis=0)], axis=0)
+                        for k, v in batch.items()}
+                    row_mask = np.concatenate(
+                        [row_mask, np.zeros((pad,), np.float32)])
                 batch = shard_batch(self.mesh, batch, batch_axis=0)
-            metrics = self.eval_step(params, batch, rng)
-            b = int(np.asarray(metrics["loss"]).size) or 1
+                row_mask = shard_batch(self.mesh, row_mask, batch_axis=0)
+            metrics = self.eval_step(params, batch, rng, row_mask)
+            b = float(np.asarray(metrics.pop("count")))
             for k, v in metrics.items():
                 totals[k] = totals.get(k, 0.0) + float(np.asarray(v)) * b
             count += b
-        return {k: v / max(count, 1) for k, v in totals.items()}
+        return {k: v / max(count, 1.0) for k, v in totals.items()}
 
     def _host_local(self, tree):
         """Host-local numpy copies of (replicated) global arrays.

