@@ -171,11 +171,26 @@ class InferenceEngine:
     """
 
     def __init__(self, model, params, hparams, max_out_frames=None,
-                 mesh=None):
+                 mesh=None, out_frame_buckets=None):
+        """:param out_frame_buckets: ascending static decoder output
+            lengths to compile (single-device path). Default: quarter
+            multiples of ``max_out_frames``. A short utterance then pays
+            a short decoder pass instead of the full frame budget (the
+            reference sizes outputs exactly, model.py:866-923)."""
         self.model = model
         self.hp = hparams
         self.max_out_frames = max_out_frames or hparams.max_frames
+        if out_frame_buckets is None:
+            q = -(-self.max_out_frames // 4)  # ceil quarter
+            q = -(-q // hparams.frame_bucket) * hparams.frame_bucket
+            out_frame_buckets = sorted({min(q * i, self.max_out_frames)
+                                        for i in range(1, 5)}
+                                       | {self.max_out_frames})
+        assert out_frame_buckets[-1] == self.max_out_frames
+        self.out_frame_buckets = out_frame_buckets
         self.pitch_means, self.pitch_stds = pitch_stats_arrays(hparams)
+        self._dur_mean, self._dur_std = self._symbol_duration_tables(
+            hparams)
         self.mesh = mesh
         if mesh is not None:
             from daft_exprt_tpu.parallel.mesh import replicated
@@ -187,6 +202,73 @@ class InferenceEngine:
         # prosody encoder reads only the reference, so with a fixed
         # style bank this removes ~60% of per-sentence inference work.
         self._film_cache = {}
+
+    @staticmethod
+    def _symbol_duration_tables(hparams):
+        """(mean, std) second-duration tables indexed by symbol id.
+
+        Built from stats.json's per-symbol duration stats (the same
+        source the reference loads back into hparams,
+        features_stats.py:132-163); symbols without stats get a generous
+        default so the host-side output-length estimate stays an upper
+        bound in practice.
+        """
+        n = hparams.n_symbols
+        mean = np.full((n,), 0.12, np.float32)
+        std = np.full((n,), 0.08, np.float32)
+        sym_stats = (hparams.stats or {}).get("symbols", {})
+        for i, s in enumerate(hparams.symbols):
+            if s in sym_stats:
+                mean[i] = sym_stats[s].get("mean", mean[i])
+                std[i] = sym_stats[s].get("std", std[i])
+        return mean, std
+
+    def _pick_out_bucket(self, inputs) -> int:
+        """Host-side speculative output-frame bucket for one batch.
+
+        Upper-bound estimate of each row's predicted total frames from
+        the per-symbol duration stats (mean + 2 std, scaled by the
+        duration control factors) — no device sync. If the speculation
+        is ever too small, the decode stage's per-row overflow flag
+        triggers one re-run at the full frame budget (see :meth:`run`).
+        """
+        symbols, dur_factors = np.asarray(inputs[0]), np.asarray(inputs[1])
+        input_lengths = np.asarray(inputs[4])
+        L = symbols.shape[1]
+        valid = np.arange(L)[None, :] < input_lengths[:, None]
+        secs = (self._dur_mean[symbols] + 2.0 * self._dur_std[symbols]) \
+            * np.abs(dur_factors)
+        frames_per_row = np.sum(np.where(valid, secs, 0.0), axis=1) \
+            * self.hp.sampling_rate / self.hp.hop_length
+        need = int(np.max(frames_per_row) * 1.1) + 8
+        for b in self.out_frame_buckets:
+            if need <= b:
+                return b
+        return self.out_frame_buckets[-1]
+
+    def _fn_prosody(self, pitch_transform: str, with_films: bool):
+        key = ("prosody", pitch_transform, with_films)
+        if key not in self._compiled:
+            if with_films:
+                def run(params, inputs, films):
+                    return self.model.inference_prosody(
+                        params, inputs, pitch_transform, self.pitch_means,
+                        self.pitch_stds, films=films)
+            else:
+                def run(params, inputs):
+                    return self.model.inference_prosody(
+                        params, inputs, pitch_transform, self.pitch_means,
+                        self.pitch_stds)
+            self._compiled[key] = jax.jit(run)
+        return self._compiled[key]
+
+    def _fn_decode(self, max_frames: int):
+        key = ("decode", max_frames)
+        if key not in self._compiled:
+            self._compiled[key] = jax.jit(
+                lambda p, enc, film, preds: self.model.inference_decode(
+                    p, enc, film, preds, max_frames=max_frames))
+        return self._compiled[key]
 
     def _fn(self, pitch_transform: str):
         if pitch_transform not in self._compiled:
@@ -209,17 +291,6 @@ class InferenceEngine:
                     out_specs=P(DATA_AXIS), check_vma=False))
             self._compiled[pitch_transform] = jitted
         return self._compiled[pitch_transform]
-
-    def _synth_fn(self, pitch_transform: str):
-        key = ("synth", pitch_transform)
-        if key not in self._compiled:
-            def run(params, inputs, films):
-                return self.model.inference(
-                    params, inputs, pitch_transform, self.pitch_means,
-                    self.pitch_stds, max_frames=self.max_out_frames,
-                    films=films)
-            self._compiled[key] = jax.jit(run)
-        return self._compiled[key]
 
     def run_cached(self, inputs, pitch_transform: str, film_keys):
         """Like :meth:`run`, reusing FiLM params across calls.
@@ -267,12 +338,31 @@ class InferenceEngine:
                  np.zeros((B, self.hp.n_mel_channels, 1), np.float32),
                  np.ones((B,), np.int32))
         slim = tuple(inputs[:5]) + dummy + (inputs[9],)
-        out = self._synth_fn(pitch_transform)(self.params, slim, films)
-        # device_get pipelines the D2H copies (async per leaf, then
-        # gather) -- per-leaf np.asarray would pay one synchronous
-        # round trip per output array, which dominates single-utterance
-        # latency on high-RTT links
-        return jax.device_get(out)
+        enc_outputs, decoder_film, encoder_preds = self._fn_prosody(
+            pitch_transform, with_films=True)(self.params, slim, films)
+        return self._decode_bucketed(inputs, enc_outputs, decoder_film,
+                                     encoder_preds)
+
+    def _decode_bucketed(self, inputs, enc_outputs, decoder_film,
+                         encoder_preds):
+        """Decode at a speculative output-frame bucket; re-run at the
+        full budget if any row overflowed the speculation.
+
+        device_get pipelines the D2H copies (async per leaf, then
+        gather) -- per-leaf np.asarray would pay one synchronous round
+        trip per output array, which dominates single-utterance latency
+        on high-RTT links.
+        """
+        T = self._pick_out_bucket(inputs)
+        dec, weights = self._fn_decode(T)(
+            self.params, enc_outputs, decoder_film, encoder_preds)
+        out = jax.device_get((encoder_preds, dec, weights))
+        if T < self.max_out_frames and bool(np.any(out[1][2])):
+            # speculation too small: one re-run at the full budget
+            dec, weights = self._fn_decode(self.max_out_frames)(
+                self.params, enc_outputs, decoder_film, encoder_preds)
+            out = jax.device_get((encoder_preds, dec, weights))
+        return out
 
     def _fn_film(self):
         if "film" not in self._compiled:
@@ -293,9 +383,15 @@ class InferenceEngine:
                     for x in inputs)
             inputs = tuple(shard_batch(self.mesh, list(inputs),
                                        batch_axis=0))
-        out = self._fn(pitch_transform)(self.params, inputs)
-        out = jax.device_get(out)  # pipelined D2H (see run_cached)
-        return jax.tree.map(lambda x: x[:B], out)
+            out = self._fn(pitch_transform)(self.params, inputs)
+            out = jax.device_get(out)  # pipelined D2H
+            return jax.tree.map(lambda x: x[:B], out)
+        # single-device: two-stage dispatch so the decoder runs at an
+        # output bucket sized from the predicted durations
+        enc_outputs, decoder_film, encoder_preds = self._fn_prosody(
+            pitch_transform, with_films=False)(self.params, inputs)
+        return self._decode_bucketed(inputs, enc_outputs, decoder_film,
+                                     encoder_preds)
 
 
 # ----------------------------------------------------------------------
@@ -395,11 +491,17 @@ def generate_mel_specs(engine: InferenceEngine, sentences, file_names,
             encoder_preds, decoder_preds, weights = engine.run(
                 inputs, pitch_transform)
         dur_pred, dur_int, energy_pred, pitch_pred, in_lens = encoder_preds
-        mel_preds, out_lens = decoder_preds
+        mel_preds, out_lens, overflow = decoder_preds
 
         for row, file_name in enumerate(names):
             n = int(in_lens[row])
             t = int(out_lens[row])
+            if bool(overflow[row]):
+                _logger.warning(
+                    f"{file_name}: predicted duration exceeds the "
+                    f"engine frame budget ({engine.max_out_frames} "
+                    f"frames); the mel tail is truncated — raise "
+                    f"max_out_frames or lower dur_factors")
             mel = mel_preds[row, :, :t]
             predictions[file_name] = [
                 dur_pred[row, :n], dur_int[row, :n], energy_pred[row, :n],

@@ -461,19 +461,19 @@ class DaftExprt:
             deterministic=True)
         return encoder_film, pred_film, decoder_film
 
-    def inference(self, params, inputs, pitch_transform: str,
-                  pitch_means, pitch_stds, max_frames: int,
-                  films=None):
-        """Inference with prosody control factors.
+    def inference_prosody(self, params, inputs, pitch_transform: str,
+                          pitch_means, pitch_stds, films=None):
+        """Symbol-rate half of inference: phoneme encoding + prosody
+        prediction + control factors (everything before upsampling).
 
-        :param inputs: (symbols, dur_factors, energy_factors,
-            pitch_factors, input_lengths, energy_refs, pitch_refs,
-            mel_spec_refs, ref_lengths, speaker_ids)
-        :param pitch_transform: 'add' | 'multiply' (static)
-        :param max_frames: static output frame budget T
-        :param films: optional precomputed (encoder_film, pred_film,
-            decoder_film) from :meth:`inference_film`; the reference
-            features in ``inputs`` are then ignored.
+        Split from :meth:`inference_decode` so the engine can pick the
+        decoder's static output-frame bucket from the predicted
+        durations instead of always paying a ``T = max_frames`` decoder
+        pass (the reference sizes outputs exactly, model.py:866-923).
+
+        :return: (enc_outputs, decoder_film, encoder_preds) with
+            encoder_preds = [duration_preds, durations_int,
+            energy_preds, pitch_preds, input_lengths].
         """
         (symbols, dur_factors, energy_factors, pitch_factors, input_lengths,
          energy_refs, pitch_refs, mel_spec_refs, ref_lengths,
@@ -515,19 +515,59 @@ class DaftExprt:
         else:
             raise NotImplementedError(pitch_transform)
 
+        encoder_preds = [duration_preds, durations_int, energy_preds,
+                         pitch_preds, input_lengths]
+        return enc_outputs, decoder_film, encoder_preds
+
+    def inference_decode(self, params, enc_outputs, decoder_film,
+                         encoder_preds, max_frames: int):
+        """Frame-rate half of inference: Gaussian upsampling + decoder.
+
+        :param max_frames: static output frame budget T (a bucket).
+        :return: (decoder_preds, weights) with decoder_preds =
+            [mel_spec_preds, output_lengths, overflow]; ``overflow`` is
+            a per-row bool flagging rows whose predicted total frames
+            exceed ``max_frames`` (their tail is truncated — the
+            reference sizes outputs exactly, model.py:914, so silent
+            truncation would be a parity break worth surfacing).
+        """
+        rng = jax.random.PRNGKey(0)  # unused (deterministic)
+        (duration_preds, durations_int, energy_preds, pitch_preds,
+         input_lengths) = encoder_preds
         symbols_upsamp, weights = self.gaussian_upsampling(
             params["gaussian_upsampling"], enc_outputs, duration_preds,
             durations_int, energy_preds, pitch_preds, input_lengths,
             max_frames=max_frames)
-        output_lengths = jnp.minimum(jnp.sum(durations_int, axis=1),
-                                     max_frames)
+        total_frames = jnp.sum(durations_int, axis=1)
+        output_lengths = jnp.minimum(total_frames, max_frames)
+        overflow = total_frames > max_frames
         mel_spec_preds = self.frame_decoder(
             params["frame_decoder"], symbols_upsamp, decoder_film,
             output_lengths, rng, deterministic=True)
+        return [mel_spec_preds, output_lengths, overflow], weights
 
-        encoder_preds = [duration_preds, durations_int, energy_preds,
-                         pitch_preds, input_lengths]
-        decoder_preds = [mel_spec_preds, output_lengths]
+    def inference(self, params, inputs, pitch_transform: str,
+                  pitch_means, pitch_stds, max_frames: int,
+                  films=None):
+        """Inference with prosody control factors (fused single graph).
+
+        :param inputs: (symbols, dur_factors, energy_factors,
+            pitch_factors, input_lengths, energy_refs, pitch_refs,
+            mel_spec_refs, ref_lengths, speaker_ids)
+        :param pitch_transform: 'add' | 'multiply' (static)
+        :param max_frames: static output frame budget T
+        :param films: optional precomputed (encoder_film, pred_film,
+            decoder_film) from :meth:`inference_film`; the reference
+            features in ``inputs`` are then ignored.
+        :return: (encoder_preds, decoder_preds, weights); decoder_preds
+            = [mel_spec_preds, output_lengths, overflow] (see
+            :meth:`inference_decode`).
+        """
+        enc_outputs, decoder_film, encoder_preds = self.inference_prosody(
+            params, inputs, pitch_transform, pitch_means, pitch_stds,
+            films=films)
+        decoder_preds, weights = self.inference_decode(
+            params, enc_outputs, decoder_film, encoder_preds, max_frames)
         return encoder_preds, decoder_preds, weights
 
     # ==================================================================

@@ -150,7 +150,7 @@ class SynthesisService:
         with self.lock:
             encoder_preds, decoder_preds, _ = self.engine.run_cached(
                 inputs, pitch_transform, [(style, speaker_id)])
-        mel_preds, out_lens = decoder_preds
+        mel_preds, out_lens = decoder_preds[0], decoder_preds[1]
         mel = np.asarray(mel_preds)[0, :, :int(out_lens[0])]
 
         if self.vocoder is not None:

@@ -48,7 +48,7 @@ def test_forward_shapes(setup):
     assert dec_film.shape == (B, 2, 2 * 16)
     dur, nrg, pit, in_lens = encoder_preds
     assert dur.shape == nrg.shape == pit.shape == (B, L)
-    mel, out_lens = decoder_preds
+    mel, out_lens = decoder_preds[0], decoder_preds[1]
     assert mel.shape == (B, hp.n_mel_channels, T)
     assert weights.shape == (B, L, T)
 
@@ -112,7 +112,7 @@ def test_inference_shapes(setup):
     enc, dec, weights = model.inference(params, inputs, "add", pitch_means,
                                         pitch_stds, max_frames)
     dur_preds, dur_int, nrg, pit, in_lens = enc
-    mel, out_lens = dec
+    mel, out_lens, overflow = dec
     assert dur_int.shape == (B, L)
     assert mel.shape == (B, hp.n_mel_channels, max_frames)
     assert weights.shape == (B, L, max_frames)

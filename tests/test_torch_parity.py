@@ -139,7 +139,7 @@ def test_inference_parity(pitch_transform, rng_np):
         params, j_inputs, pitch_transform, pitch_means, pitch_stds,
         max_frames=T_out)
     j_dur, j_dur_int, j_energy, j_pitch, _ = [np.asarray(x) for x in j_enc]
-    j_mel, j_out_lens = [np.asarray(x) for x in j_dec]
+    j_mel, j_out_lens = [np.asarray(x) for x in j_dec[:2]]
 
     # prosody predictions
     np.testing.assert_allclose(j_dur, t_dur, atol=2e-4)
