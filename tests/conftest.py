@@ -23,6 +23,28 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Tier map: modules whose tests are quick on CPU (no full-model
+# compiles). Everything else is marked slow; `pytest -m fast` gives a
+# <2-minute green/red signal, `-m "not slow"` is equivalent.
+_FAST_MODULES = {
+    "test_text", "test_phonemizer", "test_config", "test_durations",
+    "test_utils", "test_evaluation", "test_loss", "test_mel",
+    "test_pitch", "test_audio", "test_modules",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        module = item.nodeid.split("::")[0].rsplit("/", 1)[-1]
+        module = module.removesuffix(".py")
+        if module in _FAST_MODULES:
+            item.add_marker(pytest.mark.fast)
+        else:
+            item.add_marker(pytest.mark.slow)
+        if "mesh" in module or "mesh" in item.name \
+                or "multidevice" in item.name or "multichip" in item.name:
+            item.add_marker(pytest.mark.mesh)
+
 
 @pytest.fixture
 def rng_np():
