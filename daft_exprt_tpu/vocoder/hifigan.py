@@ -547,6 +547,12 @@ def vocode_mels(gen: HiFiGanGenerator, params, mels, *, bucket: int = 128,
     :param blocked: run the time-blocked full-lane layout (default:
         on, unless ``DAFT_DISABLE_BLOCKED_VOCODER=1``)
     :return: list of 1-D float32 waveforms cropped to T_i * prod(rates)
+
+    Contract: ``params`` must not be mutated in place between calls —
+    the per-generator cache is keyed by the dict's identity, so an
+    in-place update would keep serving the stale compiled weights.
+    Pass a fresh params dict (as the training loop's functional
+    updates naturally do) to pick up new weights.
     """
     import os
     if blocked is None:

@@ -26,7 +26,11 @@ reparameterization (``wn_wrap``/``wn_materialize``) so optimization
 dynamics match torch fine-tuning; the MSD's spectral-norm power-
 iteration vectors ride in an explicit state pytree (their update
 depends only on the replicated weights, so the state stays replicated
-under data parallelism without a collective).
+under data parallelism without a collective). One deliberate deviation:
+the power iteration advances once per optimizer step (on the real-pass
+D forward), whereas torch updates u/v on every train-mode forward
+(fake pass and the two generator-update passes too) — u/v converge to
+the same leading singular vectors, just at a quarter of the nudge rate.
 """
 
 from __future__ import annotations
