@@ -197,6 +197,8 @@ class InferenceEngine:
             params = jax.device_put(params, replicated(mesh))
         self.params = params
         self._compiled = {}
+        self._voc = None  # set by attach_vocoder
+        self.samples_per_frame = None
         # FiLM cache: (ref identity, speaker_id) -> per-row
         # (encoder_film, pred_film, decoder_film) numpy slices. The
         # prosody encoder reads only the reference, so with a fixed
@@ -292,13 +294,9 @@ class InferenceEngine:
             self._compiled[pitch_transform] = jitted
         return self._compiled[pitch_transform]
 
-    def run_cached(self, inputs, pitch_transform: str, film_keys):
-        """Like :meth:`run`, reusing FiLM params across calls.
-
-        :param film_keys: per-row hashables identifying (reference,
-            speaker) -- rows with a cached key skip the prosody
-            encoder entirely. Single-device path only.
-        """
+    def _resolve_films(self, inputs, film_keys):
+        """Per-row FiLM params, served from the (reference, speaker)
+        cache; missing keys trigger one prosody-encoder batch."""
         assert self.mesh is None, "film cache: single-device path only"
         B = inputs[0].shape[0]
         assert len(film_keys) == B, (len(film_keys), B)
@@ -331,17 +329,119 @@ class InferenceEngine:
                             iter(self._film_cache))]
                         zero = tuple(np.zeros_like(f) for f in any_row)
                     rows.append(zero)
-        films = tuple(np.stack([r[i] for r in rows]) for i in range(3))
-        # refs are unused with precomputed films; pass (B, 1) dummies so
-        # the executable doesn't transfer full-size reference tensors
+        return tuple(np.stack([r[i] for r in rows]) for i in range(3))
+
+    def _slim_inputs(self, inputs):
+        """Replace reference features with (B, 1) dummies: with
+        precomputed films the executable must not transfer full-size
+        reference tensors."""
+        B = inputs[0].shape[0]
         dummy = (np.zeros((B, 1), np.float32), np.zeros((B, 1), np.float32),
                  np.zeros((B, self.hp.n_mel_channels, 1), np.float32),
                  np.ones((B,), np.int32))
-        slim = tuple(inputs[:5]) + dummy + (inputs[9],)
+        return tuple(inputs[:5]) + dummy + (inputs[9],)
+
+    def run_cached(self, inputs, pitch_transform: str, film_keys):
+        """Like :meth:`run`, reusing FiLM params across calls.
+
+        :param film_keys: per-row hashables identifying (reference,
+            speaker) -- rows with a cached key skip the prosody
+            encoder entirely. Single-device path only.
+        """
+        films = self._resolve_films(inputs, film_keys)
+        slim = self._slim_inputs(inputs)
         enc_outputs, decoder_film, encoder_preds = self._fn_prosody(
             pitch_transform, with_films=True)(self.params, slim, films)
         return self._decode_bucketed(inputs, enc_outputs, decoder_film,
                                      encoder_preds)
+
+    # ------------------------------------------------------------------
+    # Fused acoustic + vocoder serving (single dispatch to audio)
+    # ------------------------------------------------------------------
+    def attach_vocoder(self, gen, vparams, dtype=jnp.float32):
+        """Enable :meth:`run_cached_to_audio`: one compiled graph runs
+        phoneme encoding -> prosody -> upsampling -> decoder -> HiFi-GAN
+        and returns waveforms directly.
+
+        Versus the two-step path (fetch mel, re-upload, vocode) this
+        removes a full mel D2H + H2D round trip and one host sync per
+        request -- the dominant cost for single-utterance serving when
+        the host is not colocated with the chip. Output buckets are
+        rounded up to the vocoder's blocked time multiple.
+        """
+        assert self.mesh is None, "fused vocoding: single-device path only"
+        from daft_exprt_tpu.ops.mrf_vocoder import mrf_kernel_enabled
+        from daft_exprt_tpu.vocoder.hifigan import make_blocked_params
+
+        up = int(np.prod(gen.cfg["upsample_rates"]))
+        assert up == self.hp.hop_length, (
+            f"vocoder upsamples {up}x but hop_length is "
+            f"{self.hp.hop_length}")
+        plan, arrays = make_blocked_params(gen, vparams)
+        mrf_mode = "auto" if mrf_kernel_enabled() else "off"
+        # drop whichever resblock representation this mode won't use
+        for sp, sa in zip(plan["stages"], arrays["stages"]):
+            if "mrf" in sp:
+                sa.pop("resblocks" if mrf_mode == "auto" else "mrf", None)
+        t_mult = max(int(plan["time_multiple"]), 1)
+        self.out_frame_buckets = sorted(
+            {-(-b // t_mult) * t_mult for b in self.out_frame_buckets})
+        self.max_out_frames = self.out_frame_buckets[-1]
+        self.samples_per_frame = up
+        self._voc = (gen, plan, jax.device_put(arrays), mrf_mode, dtype)
+
+    def _fn_fused_audio(self, pitch_transform: str, max_frames: int):
+        key = ("audio", pitch_transform, max_frames)
+        if key not in self._compiled:
+            gen, plan, _, mrf_mode, vdt = self._voc
+
+            def run(params, varrays, slim, films):
+                enc_outputs, decoder_film, encoder_preds = \
+                    self.model.inference_prosody(
+                        params, slim, pitch_transform, self.pitch_means,
+                        self.pitch_stds, films=films)
+                dec, _ = self.model.inference_decode(
+                    params, enc_outputs, decoder_film, encoder_preds,
+                    max_frames=max_frames)
+                mel, out_lens, overflow = dec
+                # beyond each row's true length the decoder emits zeros
+                # (= log(1) energy); pad with the mel log-clamp floor
+                # instead, matching vocode_mels' padding semantics
+                mask = jnp.arange(max_frames)[None, :] < out_lens[:, None]
+                mel = jnp.where(mask[:, None, :], mel,
+                                jnp.log(jnp.float32(1e-5)))
+                audio = gen.apply_blocked(plan, varrays, mel, dtype=vdt,
+                                          mrf=mrf_mode)
+                return audio, out_lens, overflow
+
+            self._compiled[key] = jax.jit(run)
+        return self._compiled[key]
+
+    def run_cached_to_audio(self, inputs, pitch_transform: str, film_keys):
+        """Text -> waveform in ONE device dispatch (plus the cached-FiLM
+        machinery of :meth:`run_cached`). Requires :meth:`attach_vocoder`.
+
+        :return: (wavs, out_lens, overflow) -- ``wavs`` is a list of
+            float32 waveforms cropped to each row's true length.
+        """
+        assert self._voc is not None, "call attach_vocoder first"
+        films = self._resolve_films(inputs, film_keys)
+        slim = self._slim_inputs(inputs)
+        fn = self._fn_fused_audio(pitch_transform,
+                                  self._pick_out_bucket(inputs))
+        _, _, varrays, _, _ = self._voc
+        audio, out_lens, overflow = jax.device_get(
+            fn(self.params, varrays, slim, films))
+        if bool(np.any(overflow)) and audio.shape[1] \
+                < self.max_out_frames * self.samples_per_frame:
+            # speculation too small: one re-run at the full budget
+            fn = self._fn_fused_audio(pitch_transform, self.max_out_frames)
+            audio, out_lens, overflow = jax.device_get(
+                fn(self.params, varrays, slim, films))
+        spf = self.samples_per_frame
+        wavs = [audio[b, :int(out_lens[b]) * spf]
+                for b in range(audio.shape[0])]
+        return wavs, out_lens, overflow
 
     def _decode_bucketed(self, inputs, enc_outputs, decoder_film,
                          encoder_preds):

@@ -91,6 +91,11 @@ class SynthesisService:
         if vocoder:
             from daft_exprt_tpu.vocoder.hifigan import load_generator
             self.vocoder = load_generator(vocoder, vocoder_config)
+            # fused serving: acoustic model + HiFi-GAN compile into ONE
+            # graph per output bucket -- a request is a single dispatch
+            # returning audio (no mel D2H/H2D round trip)
+            gen, vparams = self.vocoder
+            self.engine.attach_vocoder(gen, vparams)
 
     # ------------------------------------------------------------------
     def synthesize(self, text: str, speaker_id: int | None = None,
@@ -147,22 +152,23 @@ class SynthesisService:
             [sentence], expand(dur_factor), expand(energy_factor),
             expand(pitch_factor), pitch_transform,
             [self.styles[style]], [speaker_id], self.hp)
+
+        if self.vocoder is not None:
+            # fused path: text -> waveform in one device dispatch
+            with self.lock:
+                wavs, out_lens, _ = self.engine.run_cached_to_audio(
+                    inputs, pitch_transform, [(style, speaker_id)])
+            return np.asarray(wavs[0], np.float32), int(out_lens[0]), \
+                time.perf_counter() - t0
+
         with self.lock:
             encoder_preds, decoder_preds, _ = self.engine.run_cached(
                 inputs, pitch_transform, [(style, speaker_id)])
         mel_preds, out_lens = decoder_preds[0], decoder_preds[1]
         mel = np.asarray(mel_preds)[0, :, :int(out_lens[0])]
-
-        if self.vocoder is not None:
-            from daft_exprt_tpu.vocoder.hifigan import vocode_mels
-            gen, vparams = self.vocoder
-            with self.lock:
-                wav = vocode_mels(gen, vparams, [mel],
-                                  bucket=self.hp.frame_bucket)[0]
-        else:
-            from daft_exprt_tpu.audio.griffin_lim import \
-                griffin_lim_reconstruction_from_mel_spec
-            wav = griffin_lim_reconstruction_from_mel_spec(mel, self.hp)
+        from daft_exprt_tpu.audio.griffin_lim import \
+            griffin_lim_reconstruction_from_mel_spec
+        wav = griffin_lim_reconstruction_from_mel_spec(mel, self.hp)
         return np.asarray(wav, np.float32), mel.shape[1], \
             time.perf_counter() - t0
 

@@ -117,6 +117,56 @@ def test_synthesize_error_handling(server):
     assert resp.status == 400
 
 
+def test_vocoder_service_fused_path(tmp_path):
+    """--vocoder service uses the fused one-dispatch text->audio path."""
+    import serve as srv
+    import torch
+    from test_vocoder import TorchGenerator
+    from test_fused_vocoder import TINY_VOC_CFG
+
+    from tools.convert_checkpoint import save_converted_checkpoint
+
+    from daft_exprt_tpu.audio.io import save_wav
+    from daft_exprt_tpu.models.daft_exprt import DaftExprt
+
+    hp = tiny_hparams(speakers=["spk_a"])
+    hp.stats = {"spk 0": {
+        "pitch": {"mean": float(np.log(180.0)), "std": 0.25,
+                  "min": 4.0, "max": 6.0},
+        "energy": {"mean": 3.0, "std": 1.0, "min": 0.0, "max": 9.0}}}
+    model = DaftExprt(hp)
+    params = model.init_params(jax.random.PRNGKey(0))
+    ckpt_dir = str(tmp_path / "converted")
+    save_converted_checkpoint(ckpt_dir, params, dict(hp.as_dict()))
+
+    style_dir = str(tmp_path / "style_bank")
+    os.makedirs(style_dir)
+    t = np.arange(int(1.2 * hp.sampling_rate)) / hp.sampling_rate
+    phase = 2 * np.pi * np.cumsum(170 + 20 * np.sin(2 * np.pi * t)) \
+        / hp.sampling_rate
+    save_wav(os.path.join(style_dir, "calm.wav"),
+             (0.5 * np.sin(phase)).astype(np.float32), hp.sampling_rate)
+
+    torch.manual_seed(0)
+    tgen = TorchGenerator(TINY_VOC_CFG).eval()
+    voc_ckpt = str(tmp_path / "g_tiny.pt")
+    torch.save({"generator": tgen.state_dict()}, voc_ckpt)
+    voc_cfg = str(tmp_path / "voc.json")
+    with open(voc_cfg, "w") as f:
+        json.dump(TINY_VOC_CFG, f)
+
+    service = srv.SynthesisService(ckpt_dir, style_dir, vocoder=voc_ckpt,
+                                   vocoder_config=voc_cfg)
+    assert service.engine._voc is not None  # fused path armed
+    wav, frames, seconds = service.synthesize(
+        "{HH AH0 L OW1} {W ER1 L D}", speaker_id=0, style="calm")
+    assert frames > 0
+    assert len(wav) == frames * hp.hop_length
+    assert np.isfinite(wav).all() and np.abs(wav).max() <= 1.0
+    # fused executables, not the two-step vocode_mels cache
+    assert any(k[0] == "audio" for k in service.engine._compiled)
+
+
 def test_synthesize_request_validation(server):
     port, _ = server
     # valid JSON but not an object -> 400, not 500
