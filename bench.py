@@ -75,10 +75,14 @@ def _p50_utterance_latency_ms(model, hp, params):
         os.system(f"rm -rf {trace_dir}")
         n = 10
         jax.profiler.start_trace(trace_dir)
-        for _ in range(n):
-            out = infer(params, inputs)
-        jax.block_until_ready(out)
-        jax.profiler.stop_trace()
+        try:
+            for _ in range(n):
+                out = infer(params, inputs)
+            jax.block_until_ready(out)
+        finally:
+            # never leave the trace session open: a dangling session
+            # corrupts later profiling in this process
+            jax.profiler.stop_trace()
         # module envelopes: jit_infer carries the full per-call time
         agg, _ = aggregate_device_trace(trace_dir, level="modules")
         top = [v for k, v in agg.items() if k.startswith("jit_infer")]
@@ -87,6 +91,57 @@ def _p50_utterance_latency_ms(model, hp, params):
     except Exception:
         pass
     return p50_host, device_ms
+
+
+def _p50_short_utterance_ms(model, hp, params):
+    """Short-utterance (B=1, L=16 symbols ~ 1.4 s speech) latency:
+    the output-bucketed two-stage engine vs the fused full-budget
+    graph. The engine speculates the decoder's static output length
+    from per-symbol duration stats, so a short sentence pays a short
+    decoder pass (VERDICT round-1 item 7).
+
+    Returns (p50_bucketed_ms, p50_fused_ms, bucket_frames).
+    """
+    from daft_exprt_tpu.inference.generate import InferenceEngine
+
+    import jax.numpy as jnp
+
+    B, L, T_ref, T_max = 1, 16, 512, 512
+    # plausible English phone-duration stats (the flagship synthetic
+    # config has no stats.json; real deployments get these for free)
+    hp.stats = dict(hp.stats or {})
+    hp.stats["symbols"] = {s: {"mean": 0.09, "std": 0.03}
+                           for s in hp.symbols}
+    inputs = _synthetic_inference_inputs(hp, B, L, T_ref, seed=2)
+    engine = InferenceEngine(model, params, hp, max_out_frames=T_max)
+    bucket = engine._pick_out_bucket(inputs)
+
+    engine.run(inputs, "add")  # warmup/compile (incl. possible re-run)
+    times = []
+    for _ in range(50):
+        t0 = time.perf_counter()
+        engine.run(inputs, "add")
+        times.append(time.perf_counter() - t0)
+    p50_bucketed = float(np.median(times) * 1e3)
+
+    pitch_means = jnp.full((hp.n_speakers,), 5.0, jnp.float32)
+    pitch_stds = jnp.full((hp.n_speakers,), 0.3, jnp.float32)
+
+    @jax.jit
+    def infer_full(params, inputs):
+        return model.inference(params, inputs, "add", pitch_means,
+                               pitch_stds, max_frames=T_max)
+
+    dev_inputs = jax.device_put(inputs, jax.devices()[0])
+    out = infer_full(params, dev_inputs)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(50):
+        t0 = time.perf_counter()
+        out = jax.device_get(infer_full(params, dev_inputs))
+        times.append(time.perf_counter() - t0)
+    p50_fused = float(np.median(times) * 1e3)
+    return p50_bucketed, p50_fused, bucket
 
 
 def _train_steps_per_sec(hp):
@@ -169,6 +224,56 @@ def _vocoder_rtf():
     return wav.size * iters / 22050 / wall
 
 
+def _analytic_inference_flops(hp, B, L, T_ref, T_out) -> float:
+    """Matmul/attention FLOPs of one batched inference call (2*M*N*K
+    per matmul; elementwise ops ignored -- they are bandwidth, not
+    MXU work). Used as the MFU numerator."""
+    E = hp.phoneme_encoder["hidden_embed_dim"]
+
+    def fft_blocks(cfg, n_tokens):
+        nb, C, k = cfg["nb_blocks"], cfg["conv_channels"], \
+            cfg["conv_kernel"]
+        mha = 4 * 2 * n_tokens * E * E \
+            + 2 * 2 * n_tokens * n_tokens * E  # qkv+out proj, QK^T + AV
+        ff = 2 * n_tokens * k * (E * C + C * E)
+        return nb * (mha + ff)
+
+    pe, ph, pp, fd = (hp.prosody_encoder, hp.phoneme_encoder,
+                      hp.local_prosody_predictor, hp.frame_decoder)
+    Cp, kp = pe["conv_channels"], pe["conv_kernel"]
+    n_mels = hp.n_mel_channels
+    prenet = 2 * T_ref * kp * (n_mels * Cp + Cp * Cp + Cp * E)
+    embeds = 2 * 2 * T_ref * kp * E  # energy + pitch conv embeddings
+    film_heads = 2 * 2 * E * 1280
+    prosody_enc = prenet + embeds + fft_blocks(pe, T_ref) + film_heads
+
+    phoneme_enc = fft_blocks(ph, L)
+    Cq, kq = pp["conv_channels"], pp["conv_kernel"]
+    predictor = pp["nb_blocks"] * 2 * L * kq * (E * Cq + Cq * Cq) \
+        + 2 * L * Cq * 3
+    gu_k = hp.gaussian_upsampling_module["conv_kernel"]
+    upsample = 3 * 2 * L * gu_k * E + 2 * L * E \
+        + 2 * L * T_out * E  # projections + range pred + (T,L)@(L,E)
+    decoder = fft_blocks(fd, T_out) + 2 * T_out * E * n_mels
+    per_row = prosody_enc + phoneme_enc + predictor + upsample + decoder
+    return float(B * per_row)
+
+
+def _peak_flops(device) -> float | None:
+    """Peak bf16 FLOP/s for the attached chip (MFU denominator)."""
+    kind = getattr(device, "device_kind", "").lower()
+    table = {
+        "v5 lite": 197e12, "v5e": 197e12,   # TPU v5e
+        "v5p": 459e12, "v5": 459e12,        # TPU v5p (after v5e checks)
+        "v6e": 918e12, "trillium": 918e12,  # TPU v6e
+        "v4": 275e12, "v3": 123e12, "v2": 46e12,
+    }
+    for key, peak in table.items():
+        if key in kind:
+            return peak
+    return None
+
+
 def main():
     import jax.numpy as jnp
 
@@ -199,6 +304,12 @@ def main():
     out = infer(params, inputs)
     jax.block_until_ready(out)
 
+    # Analytic matmul FLOPs for one batched call -> MFU. (XLA's
+    # cost_analysis needs lower().compile(), which recompiles the whole
+    # graph -- ~7 min through the tunnel since the persistent cache
+    # doesn't cover this backend.)
+    flops_per_call = _analytic_inference_flops(hp, B, L, T, T)
+
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
@@ -212,6 +323,28 @@ def main():
     frames_per_sec = frames / wall
     audio_sec = frames * hp.hop_length / hp.sampling_rate
     rtf = audio_sec / wall
+
+    mfu = None
+    if flops_per_call:
+        peak = _peak_flops(jax.devices()[0])
+        if peak:
+            mfu = round(flops_per_call * iters / wall / peak, 4)
+
+    # The reference instrument's default batch is 50
+    # (synthesize.py:115); report it alongside the TPU-friendly 64 so
+    # the numbers stay comparable.
+    B50 = 50
+    inputs50 = jax.device_put(
+        _synthetic_inference_inputs(hp, B50, L, T, seed=3), device)
+    out = infer(params, inputs50)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = infer(params, inputs50)
+    jax.block_until_ready(out)
+    wall50 = time.perf_counter() - t0
+    rtf_batch50 = (B50 * T * iters * hp.hop_length / hp.sampling_rate) \
+        / wall50
 
     # Style-bank serving: FiLM params precomputed once per style
     # reference (InferenceEngine.run_cached); steady state skips the
@@ -241,6 +374,8 @@ def main():
         / cached_wall
 
     p50_ms, device_ms = _p50_utterance_latency_ms(model, hp, params)
+    p50_short_bucketed, p50_short_fused, short_bucket = \
+        _p50_short_utterance_ms(model, hp, params)
     steps_per_sec = _train_steps_per_sec(hp)
     rtf_vocoder = _vocoder_rtf()
 
@@ -251,10 +386,16 @@ def main():
         "vs_baseline": round(rtf / NORTH_STAR_RTF, 3),
         "detail": {
             "mel_frames_per_sec_per_chip": round(frames_per_sec, 1),
+            "rtf_batch50_reference_instrument": round(rtf_batch50, 2),
             "rtf_cached_style_bank": round(rtf_cached, 2),
             "rtf_vocoder_hifigan": round(rtf_vocoder, 2),
+            "mfu_batched_inference": mfu,
+            "flops_per_batched_call": flops_per_call,
             "p50_utterance_latency_ms": round(p50_ms, 3),
             "utterance_device_time_ms": device_ms,
+            "p50_short_utt_bucketed_ms": round(p50_short_bucketed, 3),
+            "p50_short_utt_fused_ms": round(p50_short_fused, 3),
+            "short_utt_decode_bucket": short_bucket,
             "train_steps_per_sec": round(steps_per_sec, 3),
             "batch": B, "max_symbols": L, "max_frames": T,
             "iters": iters, "wall_s": round(wall, 3),
