@@ -341,19 +341,23 @@ class InferenceEngine:
                  np.ones((B,), np.int32))
         return tuple(inputs[:5]) + dummy + (inputs[9],)
 
-    def run_cached(self, inputs, pitch_transform: str, film_keys):
+    def run_cached(self, inputs, pitch_transform: str, film_keys,
+                   want_weights: bool = True):
         """Like :meth:`run`, reusing FiLM params across calls.
 
         :param film_keys: per-row hashables identifying (reference,
             speaker) -- rows with a cached key skip the prosody
             encoder entirely. Single-device path only.
+        :param want_weights: False skips fetching the (B, L, T)
+            alignment matrix (returned as None).
         """
         films = self._resolve_films(inputs, film_keys)
         slim = self._slim_inputs(inputs)
         enc_outputs, decoder_film, encoder_preds = self._fn_prosody(
             pitch_transform, with_films=True)(self.params, slim, films)
         return self._decode_bucketed(inputs, enc_outputs, decoder_film,
-                                     encoder_preds)
+                                     encoder_preds,
+                                     want_weights=want_weights)
 
     # ------------------------------------------------------------------
     # Fused acoustic + vocoder serving (single dispatch to audio)
@@ -444,23 +448,30 @@ class InferenceEngine:
         return wavs, out_lens, overflow
 
     def _decode_bucketed(self, inputs, enc_outputs, decoder_film,
-                         encoder_preds):
+                         encoder_preds, want_weights=True):
         """Decode at a speculative output-frame bucket; re-run at the
         full budget if any row overflowed the speculation.
 
         device_get pipelines the D2H copies (async per leaf, then
         gather) -- per-leaf np.asarray would pay one synchronous round
         trip per output array, which dominates single-utterance latency
-        on high-RTT links.
+        on high-RTT links. With ``want_weights=False`` the (B, L, T)
+        alignment matrix stays on device (None in the return tuple) --
+        at batch 64 x L128 x T1024 that is a ~33 MB transfer per batch
+        nothing downstream may need.
         """
         T = self._pick_out_bucket(inputs)
         dec, weights = self._fn_decode(T)(
             self.params, enc_outputs, decoder_film, encoder_preds)
+        if not want_weights:
+            weights = None
         out = jax.device_get((encoder_preds, dec, weights))
         if T < self.max_out_frames and bool(np.any(out[1][2])):
             # speculation too small: one re-run at the full budget
             dec, weights = self._fn_decode(self.max_out_frames)(
                 self.params, enc_outputs, decoder_film, encoder_preds)
+            if not want_weights:
+                weights = None
             out = jax.device_get((encoder_preds, dec, weights))
         return out
 
@@ -471,7 +482,8 @@ class InferenceEngine:
                 self.model.inference_film(p, e, pi, m, rl, s))
         return self._compiled["film"]
 
-    def run(self, inputs, pitch_transform: str):
+    def run(self, inputs, pitch_transform: str,
+            want_weights: bool = True):
         B = inputs[0].shape[0]
         if self.mesh is not None:
             from daft_exprt_tpu.parallel.mesh import shard_batch
@@ -483,15 +495,18 @@ class InferenceEngine:
                     for x in inputs)
             inputs = tuple(shard_batch(self.mesh, list(inputs),
                                        batch_axis=0))
-            out = self._fn(pitch_transform)(self.params, inputs)
-            out = jax.device_get(out)  # pipelined D2H
+            enc, dec, weights = self._fn(pitch_transform)(self.params,
+                                                          inputs)
+            out = jax.device_get(
+                (enc, dec, weights if want_weights else None))
             return jax.tree.map(lambda x: x[:B], out)
         # single-device: two-stage dispatch so the decoder runs at an
         # output bucket sized from the predicted durations
         enc_outputs, decoder_film, encoder_preds = self._fn_prosody(
             pitch_transform, with_films=False)(self.params, inputs)
         return self._decode_bucketed(inputs, enc_outputs, decoder_film,
-                                     encoder_preds)
+                                     encoder_preds,
+                                     want_weights=want_weights)
 
 
 # ----------------------------------------------------------------------
@@ -537,7 +552,10 @@ def generate_mel_specs(engine: InferenceEngine, sentences, file_names,
     None (neutral 'add').
 
     :return: {file_name: [duration_pred, duration_int, energy_pred,
-              pitch_pred, mel_spec, weights]}
+              pitch_pred, mel_spec, weights]} -- ``weights`` is None
+              unless ``use_griffin_lim`` (the alignment plots are the
+              only consumer; skipping the fetch saves a ~33 MB D2H
+              per batch-64 chunk)
     """
     hp = hparams
     N = len(sentences)
@@ -586,10 +604,11 @@ def generate_mel_specs(engine: InferenceEngine, sentences, file_names,
             # batch_size under get_time_perf), not the true row count
             film_keys += [None] * (inputs[0].shape[0] - len(film_keys))
             encoder_preds, decoder_preds, weights = engine.run_cached(
-                inputs, pitch_transform, film_keys)
+                inputs, pitch_transform, film_keys,
+                want_weights=use_griffin_lim)
         else:
             encoder_preds, decoder_preds, weights = engine.run(
-                inputs, pitch_transform)
+                inputs, pitch_transform, want_weights=use_griffin_lim)
         dur_pred, dur_int, energy_pred, pitch_pred, in_lens = encoder_preds
         mel_preds, out_lens, overflow = decoder_preds
 
@@ -605,7 +624,8 @@ def generate_mel_specs(engine: InferenceEngine, sentences, file_names,
             mel = mel_preds[row, :, :t]
             predictions[file_name] = [
                 dur_pred[row, :n], dur_int[row, :n], energy_pred[row, :n],
-                pitch_pred[row, :n], mel, weights[row, :n, :t]]
+                pitch_pred[row, :n], mel,
+                weights[row, :n, :t] if weights is not None else None]
             np.savez(os.path.join(output_dir, f"{file_name}.npz"),
                      mel_spec=mel)
         if get_time_perf:

@@ -163,7 +163,8 @@ class SynthesisService:
 
         with self.lock:
             encoder_preds, decoder_preds, _ = self.engine.run_cached(
-                inputs, pitch_transform, [(style, speaker_id)])
+                inputs, pitch_transform, [(style, speaker_id)],
+                want_weights=False)
         mel_preds, out_lens = decoder_preds[0], decoder_preds[1]
         mel = np.asarray(mel_preds)[0, :, :int(out_lens[0])]
         from daft_exprt_tpu.audio.griffin_lim import \
