@@ -171,12 +171,22 @@ class InferenceEngine:
     """
 
     def __init__(self, model, params, hparams, max_out_frames=None,
-                 mesh=None, out_frame_buckets=None):
+                 mesh=None, out_frame_buckets=None,
+                 bucket_policy: str = "speculate"):
         """:param out_frame_buckets: ascending static decoder output
             lengths to compile (single-device path). Default: quarter
             multiples of ``max_out_frames``. A short utterance then pays
             a short decoder pass instead of the full frame budget (the
-            reference sizes outputs exactly, model.py:866-923)."""
+            reference sizes outputs exactly, model.py:866-923).
+        :param bucket_policy: how the decode bucket is chosen.
+            ``"speculate"`` (default) estimates it host-side from
+            per-symbol duration stats — no device sync, with a one-shot
+            full-budget re-run if the estimate undershoots. Best when
+            host<->chip round trips are expensive (remote tunnels).
+            ``"measure"`` reads the predicted ``durations_int`` sums
+            after the prosody stage (a few-hundred-byte sync) and picks
+            the exact smallest bucket — never over-decodes, never
+            re-runs. Best colocated, where a sync costs microseconds."""
         self.model = model
         self.hp = hparams
         self.max_out_frames = max_out_frames or hparams.max_frames
@@ -197,6 +207,8 @@ class InferenceEngine:
             params = jax.device_put(params, replicated(mesh))
         self.params = params
         self._compiled = {}
+        assert bucket_policy in ("speculate", "measure"), bucket_policy
+        self.bucket_policy = bucket_policy
         self._voc = None  # set by attach_vocoder
         self.samples_per_frame = None
         # FiLM cache: (ref identity, speaker_id) -> per-row
@@ -247,6 +259,18 @@ class InferenceEngine:
             if need <= b:
                 return b
         return self.out_frame_buckets[-1]
+
+    def _choose_bucket(self, inputs, encoder_preds) -> int:
+        """Decode bucket per self.bucket_policy (see __init__)."""
+        if self.bucket_policy == "measure":
+            import jax.numpy as _jnp
+            need = int(np.max(np.asarray(jax.device_get(
+                _jnp.sum(encoder_preds[1], axis=1)))))
+            for b in self.out_frame_buckets:
+                if need <= b:
+                    return b
+            return self.out_frame_buckets[-1]
+        return self._pick_out_bucket(inputs)
 
     def _fn_prosody(self, pitch_transform: str, with_films: bool):
         key = ("prosody", pitch_transform, with_films)
@@ -431,6 +455,9 @@ class InferenceEngine:
         assert self._voc is not None, "call attach_vocoder first"
         films = self._resolve_films(inputs, film_keys)
         slim = self._slim_inputs(inputs)
+        # always speculative here: the fused graph computes durations
+        # internally, so a "measure" read would need an extra prosody
+        # dispatch -- exactly what single-dispatch serving avoids
         fn = self._fn_fused_audio(pitch_transform,
                                   self._pick_out_bucket(inputs))
         _, _, varrays, _, _ = self._voc
@@ -460,7 +487,7 @@ class InferenceEngine:
         at batch 64 x L128 x T1024 that is a ~33 MB transfer per batch
         nothing downstream may need.
         """
-        T = self._pick_out_bucket(inputs)
+        T = self._choose_bucket(inputs, encoder_preds)
         dec, weights = self._fn_decode(T)(
             self.params, enc_outputs, decoder_film, encoder_preds)
         if not want_weights:

@@ -100,6 +100,26 @@ def test_underestimate_triggers_full_budget_rerun():
     assert ("decode", 256) in bucketed._compiled
 
 
+def test_measure_policy_picks_exact_bucket():
+    """bucket_policy='measure' reads predicted durations (tiny sync)
+    and never undershoots, even with stale stats."""
+    hp = _stats_hp()  # stats claim 0.1 s/symbol
+    model = FixedDurModel(hp, 0.2)  # actual 0.2 s/symbol
+    params = model.init_params(jax.random.PRNGKey(0))
+    eng = InferenceEngine(model, params, hp, max_out_frames=256,
+                          bucket_policy="measure")
+    full = InferenceEngine(model, params, hp, max_out_frames=256,
+                           out_frame_buckets=[256])
+    inputs = _inference_inputs(hp, B=4, L=12, T=32)
+    got = eng.run(inputs, "add")
+    want = full.run(inputs, "add")
+    _assert_same_outputs(got, want)
+    # measured exactly: only the right-sized decode was compiled, no
+    # undershoot re-run at a smaller bucket happened
+    decode_keys = [k for k in eng._compiled if k[0] == "decode"]
+    assert decode_keys == [("decode", 256)], decode_keys
+
+
 def test_true_truncation_sets_overflow_and_warns(tmp_path, caplog):
     """Predicted frames > engine budget: overflow flag + warning."""
     hp, bucketed, _ = _engines(fixed_dur=0.9, max_out=128)
