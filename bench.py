@@ -195,7 +195,15 @@ def _train_steps_per_sec(hp):
         params, opt_state, metrics = step(params, opt_state, batch,
                                           rng_key, it)
     jax.block_until_ready(metrics)
-    return iters / (time.perf_counter() - t0)
+    steps_per_sec = iters / (time.perf_counter() - t0)
+    # fwd + bwd ~= 3x fwd matmul FLOPs, per micro-batch
+    mfu = None
+    peak = _peak_flops(jax.devices()[0])
+    if peak:
+        flops_per_step = 3.0 * accum * _analytic_inference_flops(
+            hp, B, L, T, T)
+        mfu = round(flops_per_step * steps_per_sec / peak, 4)
+    return steps_per_sec, mfu
 
 
 def _vocoder_rtf():
@@ -376,7 +384,7 @@ def main():
     p50_ms, device_ms = _p50_utterance_latency_ms(model, hp, params)
     p50_short_bucketed, p50_short_fused, short_bucket = \
         _p50_short_utterance_ms(model, hp, params)
-    steps_per_sec = _train_steps_per_sec(hp)
+    steps_per_sec, train_mfu = _train_steps_per_sec(hp)
     rtf_vocoder = _vocoder_rtf()
 
     print(json.dumps({
@@ -397,6 +405,7 @@ def main():
             "p50_short_utt_fused_ms": round(p50_short_fused, 3),
             "short_utt_decode_bucket": short_bucket,
             "train_steps_per_sec": round(steps_per_sec, 3),
+            "mfu_train_step": train_mfu,
             "batch": B, "max_symbols": L, "max_frames": T,
             "iters": iters, "wall_s": round(wall, 3),
             "device": str(jax.devices()[0]),
