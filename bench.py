@@ -110,7 +110,7 @@ def _p50_short_utterance_ms(model, hp, params):
     # plausible English phone-duration stats (the flagship synthetic
     # config has no stats.json; real deployments get these for free)
     hp.stats = dict(hp.stats or {})
-    hp.stats["symbols"] = {s: {"mean": 0.09, "std": 0.03}
+    hp.stats["symbols"] = {s: {"dur_mean": 0.09, "dur_std": 0.03}
                            for s in hp.symbols}
     inputs = _synthetic_inference_inputs(hp, B, L, T_ref, seed=2)
     engine = InferenceEngine(model, params, hp, max_out_frames=T_max)

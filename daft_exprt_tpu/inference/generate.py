@@ -233,8 +233,11 @@ class InferenceEngine:
         sym_stats = (hparams.stats or {}).get("symbols", {})
         for i, s in enumerate(hparams.symbols):
             if s in sym_stats:
-                mean[i] = sym_stats[s].get("mean", mean[i])
-                std[i] = sym_stats[s].get("std", std[i])
+                entry = sym_stats[s]
+                # pipeline stats.json uses dur_mean/dur_std
+                # (data/stats.py, reference features_stats.py:140-143)
+                mean[i] = entry.get("dur_mean", entry.get("mean", mean[i]))
+                std[i] = entry.get("dur_std", entry.get("std", std[i]))
         return mean, std
 
     def _pick_out_bucket(self, inputs) -> int:
@@ -263,9 +266,8 @@ class InferenceEngine:
     def _choose_bucket(self, inputs, encoder_preds) -> int:
         """Decode bucket per self.bucket_policy (see __init__)."""
         if self.bucket_policy == "measure":
-            import jax.numpy as _jnp
-            need = int(np.max(np.asarray(jax.device_get(
-                _jnp.sum(encoder_preds[1], axis=1)))))
+            need = int(np.max(jax.device_get(
+                jnp.sum(encoder_preds[1], axis=1))))
             for b in self.out_frame_buckets:
                 if need <= b:
                     return b
@@ -398,19 +400,13 @@ class InferenceEngine:
         rounded up to the vocoder's blocked time multiple.
         """
         assert self.mesh is None, "fused vocoding: single-device path only"
-        from daft_exprt_tpu.ops.mrf_vocoder import mrf_kernel_enabled
-        from daft_exprt_tpu.vocoder.hifigan import make_blocked_params
+        from daft_exprt_tpu.vocoder.hifigan import prepare_blocked_inference
 
         up = int(np.prod(gen.cfg["upsample_rates"]))
         assert up == self.hp.hop_length, (
             f"vocoder upsamples {up}x but hop_length is "
             f"{self.hp.hop_length}")
-        plan, arrays = make_blocked_params(gen, vparams)
-        mrf_mode = "auto" if mrf_kernel_enabled() else "off"
-        # drop whichever resblock representation this mode won't use
-        for sp, sa in zip(plan["stages"], arrays["stages"]):
-            if "mrf" in sp:
-                sa.pop("resblocks" if mrf_mode == "auto" else "mrf", None)
+        plan, arrays, mrf_mode = prepare_blocked_inference(gen, vparams)
         t_mult = max(int(plan["time_multiple"]), 1)
         self.out_frame_buckets = sorted(
             {-(-b // t_mult) * t_mult for b in self.out_frame_buckets})
@@ -473,6 +469,48 @@ class InferenceEngine:
         wavs = [audio[b, :int(out_lens[b]) * spf]
                 for b in range(audio.shape[0])]
         return wavs, out_lens, overflow
+
+    def warmup(self, pitch_transforms=("add",), n_symbols=None,
+               ref_frames=None):
+        """Compile every output-bucket executable before serving.
+
+        Drives the production paths once per (pitch_transform, output
+        bucket) with a synthetic one-row batch: the FiLM executable,
+        the prosody stage, and each bucket's decode (or fused-audio,
+        with a vocoder attached) graph. On a colocated chip that is
+        seconds per graph; through a remote tunnel it can be minutes —
+        either way it happens before the first request instead of
+        inside the serving lock (single-device path only).
+        """
+        assert self.mesh is None, "warmup: single-device path only"
+        hp = self.hp
+        L = n_symbols or hp.symbol_bucket
+        T_ref = ref_frames or hp.frame_bucket
+        inputs = (np.ones((1, L), np.int32),
+                  np.ones((1, L), np.float32),
+                  np.ones((1, L), np.float32),
+                  np.zeros((1, L), np.float32),
+                  np.full((1,), L, np.int32),
+                  np.zeros((1, T_ref), np.float32),
+                  np.zeros((1, T_ref), np.float32),
+                  np.zeros((1, hp.n_mel_channels, T_ref), np.float32),
+                  np.full((1,), T_ref, np.int32),
+                  np.zeros((1,), np.int32))
+        key = ("__warmup__", 0)
+        saved = self.out_frame_buckets
+        try:
+            for pt in pitch_transforms:
+                for T in saved:
+                    # force this bucket through the production path
+                    self.out_frame_buckets = [T]
+                    if self._voc is not None:
+                        self.run_cached_to_audio(inputs, pt, [key])
+                    else:
+                        self.run_cached(inputs, pt, [key],
+                                        want_weights=False)
+        finally:
+            self.out_frame_buckets = saved
+            self._film_cache.pop(key, None)
 
     def _decode_bucketed(self, inputs, enc_outputs, decoder_film,
                          encoder_preds, want_weights=True):

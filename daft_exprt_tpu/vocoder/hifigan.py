@@ -498,6 +498,19 @@ def _to_conv_transpose(state, prefix):
             "b": jnp.asarray(b)}
 
 
+def prepare_blocked_inference(gen: "HiFiGanGenerator", params):
+    """(plan, arrays, mrf_mode) for ``apply_blocked``: blocked weights
+    with the resblock representation the active MRF mode won't use
+    dropped (shared by vocode_mels and the fused serving engine)."""
+    from daft_exprt_tpu.ops.mrf_vocoder import mrf_kernel_enabled
+    plan, arrays = make_blocked_params(gen, params)
+    mrf_mode = "auto" if mrf_kernel_enabled() else "off"
+    for sp, sa in zip(plan["stages"], arrays["stages"]):
+        if "mrf" in sp:
+            sa.pop("resblocks" if mrf_mode == "auto" else "mrf", None)
+    return plan, arrays, mrf_mode
+
+
 def _prepared_vocoder(gen: HiFiGanGenerator, params, dtype, blocked):
     """Cache (jitted fn, weight pytree, time multiple) on the
     generator, keyed by params identity — repeated vocode_mels calls
@@ -518,14 +531,7 @@ def _prepared_vocoder(gen: HiFiGanGenerator, params, dtype, blocked):
         cache[key] = entry  # refresh LRU order
         return entry[1]
     if blocked:
-        from daft_exprt_tpu.ops.mrf_vocoder import mrf_kernel_enabled
-        plan, arrays = make_blocked_params(gen, params)
-        mrf_mode = "auto" if mrf_kernel_enabled() else "off"
-        # drop whichever resblock representation this mode won't use
-        for sp, sa in zip(plan["stages"], arrays["stages"]):
-            if "mrf" in sp:
-                sa.pop("resblocks" if mrf_mode == "auto" else "mrf",
-                       None)
+        plan, arrays, mrf_mode = prepare_blocked_inference(gen, params)
         fn = jax.jit(lambda p, m: gen.apply_blocked(
             plan, p, m, dtype=dtype, mrf=mrf_mode))
         entry = (fn, arrays, plan["time_multiple"])

@@ -21,7 +21,9 @@ API:
                      "energy_factor": 1.0,
                      "pitch_factor": 0.0,
                      "pitch_transform": "add"}         (or "multiply")
-         Response headers carry X-Mel-Frames and X-Synthesis-Seconds.
+         Response headers carry X-Mel-Frames, X-Synthesis-Seconds and
+         X-Truncated (true when the predicted duration exceeded the
+         engine frame budget and the audio tail was cut).
 
 The batched path (scripts/synthesize.py) stays the right tool for bulk
 generation; this server optimizes single-utterance latency with
@@ -102,7 +104,11 @@ class SynthesisService:
                    style: str | None = None, dur_factor=None,
                    energy_factor=None, pitch_factor=None,
                    pitch_transform: str = "add"):
-        """-> (wav float32 ndarray, mel frames, synth seconds)."""
+        """-> (wav float32, mel frames, synth seconds, truncated).
+
+        ``truncated`` is True when the predicted duration exceeded the
+        engine frame budget and the audio tail was cut (also logged).
+        """
         import numpy as np
 
         from daft_exprt_tpu.inference.generate import \
@@ -156,29 +162,45 @@ class SynthesisService:
         if self.vocoder is not None:
             # fused path: text -> waveform in one device dispatch
             with self.lock:
-                wavs, out_lens, _ = self.engine.run_cached_to_audio(
+                wavs, out_lens, overflow = self.engine.run_cached_to_audio(
                     inputs, pitch_transform, [(style, speaker_id)])
+            truncated = bool(overflow[0])
+            if truncated:
+                _logger.warning(
+                    "predicted duration exceeds the engine frame budget "
+                    f"({self.engine.max_out_frames} frames); audio tail "
+                    "truncated")
             return np.asarray(wavs[0], np.float32), int(out_lens[0]), \
-                time.perf_counter() - t0
+                time.perf_counter() - t0, truncated
 
         with self.lock:
             encoder_preds, decoder_preds, _ = self.engine.run_cached(
                 inputs, pitch_transform, [(style, speaker_id)],
                 want_weights=False)
-        mel_preds, out_lens = decoder_preds[0], decoder_preds[1]
+        mel_preds, out_lens, overflow = decoder_preds
+        truncated = bool(overflow[0])
+        if truncated:
+            _logger.warning(
+                "predicted duration exceeds the engine frame budget "
+                f"({self.engine.max_out_frames} frames); audio tail "
+                "truncated")
         mel = np.asarray(mel_preds)[0, :, :int(out_lens[0])]
         from daft_exprt_tpu.audio.griffin_lim import \
             griffin_lim_reconstruction_from_mel_spec
         wav = griffin_lim_reconstruction_from_mel_spec(mel, self.hp)
         return np.asarray(wav, np.float32), mel.shape[1], \
-            time.perf_counter() - t0
+            time.perf_counter() - t0, truncated
 
-    def warmup(self):
+    def warmup(self, pitch_transforms=("add",)):
         """Compile the serving executables before accepting traffic.
 
-        Pre-phonemized so warmup works without the MFA dictionary.
+        Covers EVERY output bucket (engine.warmup) plus the
+        phonemizer/collation path once; pre-phonemized so it works
+        without the MFA dictionary. Requests whose bucket was not
+        warmed would otherwise compile inside the serving lock.
         """
         t0 = time.perf_counter()
+        self.engine.warmup(pitch_transforms)
         self.synthesize("{DH IH1 S} {IH1 Z} {AH0} "
                         "{W AO1 R M AH0 P} {S EH1 N T AH0 N S}.")
         _logger.info(
@@ -234,7 +256,7 @@ def make_handler(service: "SynthesisService"):
                 text = req.get("text")
                 if not text:
                     raise ValueError('missing "text"')
-                wav, frames, seconds = service.synthesize(
+                wav, frames, seconds, truncated = service.synthesize(
                     text, speaker_id=req.get("speaker_id"),
                     style=req.get("style"),
                     dur_factor=req.get("dur_factor"),
@@ -255,6 +277,8 @@ def make_handler(service: "SynthesisService"):
             self.send_header("Content-Length", str(len(body)))
             self.send_header("X-Mel-Frames", str(frames))
             self.send_header("X-Synthesis-Seconds", f"{seconds:.4f}")
+            self.send_header("X-Truncated", "true" if truncated
+                             else "false")
             self.end_headers()
             self.wfile.write(body)
 

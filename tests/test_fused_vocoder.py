@@ -31,7 +31,7 @@ TINY_VOC_CFG = {
 
 def _setup(fixed_dur):
     hp = tiny_hparams(frame_bucket=32)
-    hp.stats = {"symbols": {s: {"mean": 0.1, "std": 0.0}
+    hp.stats = {"symbols": {s: {"dur_mean": 0.1, "dur_std": 0.0}
                             for s in hp.symbols}}
     model = FixedDurModel(hp, fixed_dur)
     params = model.init_params(jax.random.PRNGKey(0))
@@ -67,6 +67,13 @@ def test_fused_audio_matches_two_step():
     for b in range(2):
         np.testing.assert_allclose(wavs[b], ref_wavs[b], atol=2e-4,
                                    err_msg=f"row {b}")
+
+
+def test_fused_warmup_compiles_every_bucket():
+    hp, engine, gen, vparams = _setup(fixed_dur=0.1)
+    engine.warmup(("add",))
+    for T in engine.out_frame_buckets:
+        assert ("audio", "add", T) in engine._compiled, T
 
 
 def test_fused_audio_overflow_rerun():

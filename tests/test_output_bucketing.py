@@ -41,7 +41,8 @@ class FixedDurModel(DaftExprt):
 
 def _stats_hp():
     hp = tiny_hparams(frame_bucket=32)
-    hp.stats = {"symbols": {s: {"mean": 0.1, "std": 0.0}
+    # production stats.json format (data/stats.py): dur_mean/dur_std
+    hp.stats = {"symbols": {s: {"dur_mean": 0.1, "dur_std": 0.0}
                             for s in hp.symbols}}
     return hp
 
@@ -118,6 +119,19 @@ def test_measure_policy_picks_exact_bucket():
     # undershoot re-run at a smaller bucket happened
     decode_keys = [k for k in eng._compiled if k[0] == "decode"]
     assert decode_keys == [("decode", 256)], decode_keys
+
+
+def test_warmup_compiles_every_bucket():
+    """engine.warmup pre-compiles all decode buckets (serving must not
+    compile inside the request lock)."""
+    hp, bucketed, _ = _engines(fixed_dur=0.1)
+    bucketed.warmup(("add",))
+    for T in bucketed.out_frame_buckets:
+        assert ("decode", T) in bucketed._compiled, T
+    assert ("prosody", "add", True) in bucketed._compiled
+    assert ("__warmup__", 0) not in bucketed._film_cache
+    # buckets restored after warmup
+    assert bucketed.out_frame_buckets == [64, 128, 192, 256]
 
 
 def test_true_truncation_sets_overflow_and_warns(tmp_path, caplog):

@@ -158,9 +158,10 @@ def test_vocoder_service_fused_path(tmp_path):
     service = srv.SynthesisService(ckpt_dir, style_dir, vocoder=voc_ckpt,
                                    vocoder_config=voc_cfg)
     assert service.engine._voc is not None  # fused path armed
-    wav, frames, seconds = service.synthesize(
+    wav, frames, seconds, truncated = service.synthesize(
         "{HH AH0 L OW1} {W ER1 L D}", speaker_id=0, style="calm")
     assert frames > 0
+    assert truncated is False
     assert len(wav) == frames * hp.hop_length
     assert np.isfinite(wav).all() and np.abs(wav).max() <= 1.0
     # fused executables, not the two-step vocode_mels cache

@@ -125,7 +125,7 @@ def test_eval_step_row_mask_excludes_padding(setup):
                                rtol=1e-5)
     # sanity: masking really changed something vs the full batch
     assert not np.isclose(float(masked["loss"]), float(base["loss"]),
-                          rtol=1e-6) or True
+                          rtol=1e-6)
 
 
 def test_eval_step_mesh_remainder_padding(setup):

@@ -33,8 +33,8 @@ from daft_exprt_tpu.utils import aggregate_device_trace  # noqa: E402
 
 def main():
     hp = _flagship_hparams()
-    rate = _train_steps_per_sec(hp)
-    print(f"train_steps_per_sec: {rate:.2f}")
+    rate, mfu = _train_steps_per_sec(hp)
+    print(f"train_steps_per_sec: {rate:.2f} (mfu: {mfu})")
 
     # trace a few steps
     model = DaftExprt(hp)
