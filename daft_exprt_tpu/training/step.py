@@ -117,7 +117,8 @@ def make_train_step(model, hp, mesh=None, donate=True):
             "pitch_loss", "mel_spec_l1_loss", "mel_spec_l2_loss")}
         (grads, tot_loss, indiv), _ = jax.lax.scan(
             micro, (zero_grads, jnp.array(0.0, jnp.float32), zero_indiv),
-            (batch, rngs))
+            (batch, rngs),
+            unroll=getattr(hp, "scan_unroll", 1))
 
         if distributed:
             # DDP semantics: gradient/metrics = mean over the global
