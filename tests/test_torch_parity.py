@@ -213,6 +213,57 @@ def test_full_scale_inference_parity(rng_np):
     assert metrics["mel_l1"] < 1e-3
 
 
+def test_export_state_dict_roundtrip():
+    """torch -> our pytree -> torch is bit-exact and loads strict."""
+    ref_model = _import_reference_model()
+    from tools.convert_checkpoint import (convert_state_dict,
+                                          export_state_dict)
+    hp = tiny_hparams()
+    torch.manual_seed(3)
+    tmodel = ref_model.DaftExprt(_torch_hparams(hp))
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+
+    back = export_state_dict(convert_state_dict(sd, hp), hp)
+    assert set(back) == set(sd), (set(sd) - set(back),
+                                  set(back) - set(sd))
+    for k in sd:
+        np.testing.assert_array_equal(back[k], sd[k], err_msg=k)
+
+    # strict load into a fresh reference model (key/shape completeness)
+    torch.manual_seed(99)
+    fresh = ref_model.DaftExprt(_torch_hparams(hp))
+    fresh.load_state_dict({k: torch.from_numpy(v.copy())
+                           for k, v in back.items()}, strict=True)
+
+
+def test_export_cli_reference_schema(tmp_path):
+    """tools/export_acoustic_torch.py emits the reference .pt schema."""
+    import jax
+    from tools.convert_checkpoint import save_converted_checkpoint
+    from tools.export_acoustic_torch import export
+
+    from daft_exprt_tpu.models.daft_exprt import DaftExprt
+
+    hp = tiny_hparams()
+    model = DaftExprt(hp)
+    params = model.init_params(jax.random.PRNGKey(0))
+    ckpt_dir = str(tmp_path / "converted")
+    save_converted_checkpoint(ckpt_dir, params, dict(hp.as_dict()),
+                              meta={"iteration": 1234,
+                                    "learning_rate": 1e-4,
+                                    "best_val_loss": 0.5})
+    out = str(tmp_path / "DaftExprt_export.pt")
+    export(ckpt_dir, out)
+    blob = torch.load(out, map_location="cpu", weights_only=False)
+    assert blob["iteration"] == 1234
+    assert set(blob) == {"iteration", "learning_rate", "best_val_loss",
+                         "state_dict", "optimizer", "config_params"}
+    ref_model = _import_reference_model()
+    fresh = ref_model.DaftExprt(_torch_hparams(hp))
+    fresh.load_state_dict(blob["state_dict"], strict=True)
+    assert all(v is not None for v in blob["config_params"].values())
+
+
 def test_training_forward_parity(rng_np):
     """Teacher-forced forward parity (dropout off)."""
     ref_model = _import_reference_model()

@@ -162,6 +162,107 @@ def convert_state_dict(sd: dict, hparams) -> dict:
 
 
 # ----------------------------------------------------------------------
+# Reverse direction: our pytree -> reference torch state_dict
+# ----------------------------------------------------------------------
+def export_state_dict(params: dict, hparams) -> dict:
+    """Our params pytree -> reference-format state_dict (numpy arrays).
+
+    Exact inverse of :func:`convert_state_dict` (same key map as the
+    reference model.py modules), so acoustic models trained in this
+    framework load into the reference PyTorch implementation with
+    ``load_state_dict(strict=True)``.
+    """
+    sd: dict = {}
+
+    def put_linear(prefix, p):
+        sd[f"{prefix}.weight"] = _t(p["w"])
+        sd[f"{prefix}.bias"] = np.asarray(p["b"], np.float32)
+
+    def put_conv1d(prefix, p):  # (k, in, out) -> (out, in, k)
+        sd[f"{prefix}.conv.weight"] = np.ascontiguousarray(
+            np.asarray(p["w"], np.float32).transpose(2, 1, 0))
+        sd[f"{prefix}.conv.bias"] = np.asarray(p["b"], np.float32)
+
+    def put_ln(prefix, p):
+        sd[f"{prefix}.weight"] = np.asarray(p["scale"], np.float32)
+        sd[f"{prefix}.bias"] = np.asarray(p["bias"], np.float32)
+
+    def put_mha(prefix, p):
+        sd[f"{prefix}.multi_head_attention.in_proj_weight"] = \
+            np.concatenate([_t(p["q_w"]), _t(p["k_w"]), _t(p["v_w"])], 0)
+        sd[f"{prefix}.multi_head_attention.in_proj_bias"] = \
+            np.concatenate([np.asarray(p[k], np.float32)
+                            for k in ("q_b", "k_b", "v_b")])
+        sd[f"{prefix}.multi_head_attention.out_proj.weight"] = \
+            _t(p["out_w"])
+        sd[f"{prefix}.multi_head_attention.out_proj.bias"] = \
+            np.asarray(p["out_b"], np.float32)
+        put_ln(f"{prefix}.layer_norm", p["ln"])
+
+    def put_block(prefix, p):
+        put_mha(f"{prefix}.attention", p["attn"])
+        put_conv1d(f"{prefix}.feed_forward.convs.0", p["ff"]["conv1"])
+        put_conv1d(f"{prefix}.feed_forward.convs.2", p["ff"]["conv2"])
+        put_ln(f"{prefix}.feed_forward.layer_norm", p["ff"]["ln"])
+
+    pe = params["prosody_encoder"]
+    put_conv1d("prosody_encoder.energy_embedding", pe["energy_embedding"])
+    put_conv1d("prosody_encoder.pitch_embedding", pe["pitch_embedding"])
+    pre = pe["prenet"]
+    for i, (conv, ln) in enumerate((("conv1", "ln1"), ("conv2", "ln2"),
+                                    ("conv3", "ln3"))):
+        put_conv1d(f"prosody_encoder.convs.{4 * i}", pre[conv])
+        put_ln(f"prosody_encoder.convs.{4 * i + 2}", pre[ln])
+    for i, block in enumerate(pe["blocks"]):
+        put_block(f"prosody_encoder.blocks.{i}", block)
+    sd["prosody_encoder.spk_embedding.weight"] = np.asarray(
+        pe["spk_embedding"]["table"], np.float32)
+    put_linear("prosody_encoder.gammas_predictor.linear_layer",
+               pe["gammas_predictor"])
+    put_linear("prosody_encoder.betas_predictor.linear_layer",
+               pe["betas_predictor"])
+    if "post_multipliers" in pe:
+        sd["prosody_encoder.post_multipliers"] = np.asarray(
+            pe["post_multipliers"], np.float32)
+
+    sc = params["speaker_classifier"]
+    put_linear("speaker_classifier.classifier.1.linear_layer", sc["fc1"])
+    put_linear("speaker_classifier.classifier.3.linear_layer", sc["fc2"])
+    put_linear("speaker_classifier.classifier.5.linear_layer", sc["fc3"])
+
+    ph = params["phoneme_encoder"]
+    sd["phoneme_encoder.symbols_embedding.weight"] = np.asarray(
+        ph["symbols_embedding"]["table"], np.float32)
+    for i, block in enumerate(ph["blocks"]):
+        put_block(f"phoneme_encoder.blocks.{i}", block)
+
+    pp = params["prosody_predictor"]
+    for i, block in enumerate(pp["blocks"]):
+        put_conv1d(f"prosody_predictor.blocks.{i}.0", block["conv1"])
+        put_ln(f"prosody_predictor.blocks.{i}.2", block["ln1"])
+        put_conv1d(f"prosody_predictor.blocks.{i}.4", block["conv2"])
+        put_ln(f"prosody_predictor.blocks.{i}.6", block["ln2"])
+    put_linear("prosody_predictor.projection.linear_layer",
+               pp["projection"])
+
+    gu = params["gaussian_upsampling"]
+    put_conv1d("gaussian_upsampling.duration_projection",
+               gu["duration_projection"])
+    put_conv1d("gaussian_upsampling.energy_projection",
+               gu["energy_projection"])
+    put_conv1d("gaussian_upsampling.pitch_projection",
+               gu["pitch_projection"])
+    put_linear("gaussian_upsampling.projection.0.linear_layer",
+               gu["range_predictor"])
+
+    fd = params["frame_decoder"]
+    for i, block in enumerate(fd["blocks"]):
+        put_block(f"frame_decoder.blocks.{i}", block)
+    put_linear("frame_decoder.projection.linear_layer", fd["projection"])
+    return sd
+
+
+# ----------------------------------------------------------------------
 # Flattened npz round-trip
 # ----------------------------------------------------------------------
 def flatten_params(tree, prefix="") -> dict:
