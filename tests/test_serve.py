@@ -168,6 +168,72 @@ def test_vocoder_service_fused_path(tmp_path):
     assert any(k[0] == "audio" for k in service.engine._compiled)
 
 
+def test_dynamic_batcher_collates_concurrent_requests(tmp_path):
+    """batch_window_ms > 0: concurrent requests run as ONE dispatch
+    and produce the same audio as a solo request."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import serve as srv
+
+    from tools.convert_checkpoint import save_converted_checkpoint
+
+    from daft_exprt_tpu.audio.io import save_wav
+    from daft_exprt_tpu.models.daft_exprt import DaftExprt
+
+    hp = tiny_hparams(speakers=["spk_a"])
+    hp.stats = {"spk 0": {
+        "pitch": {"mean": float(np.log(180.0)), "std": 0.25,
+                  "min": 4.0, "max": 6.0},
+        "energy": {"mean": 3.0, "std": 1.0, "min": 0.0, "max": 9.0}}}
+    model = DaftExprt(hp)
+    params = model.init_params(jax.random.PRNGKey(0))
+    ckpt_dir = str(tmp_path / "converted")
+    save_converted_checkpoint(ckpt_dir, params, dict(hp.as_dict()))
+    style_dir = str(tmp_path / "style_bank")
+    os.makedirs(style_dir)
+    t = np.arange(int(1.2 * hp.sampling_rate)) / hp.sampling_rate
+    phase = 2 * np.pi * np.cumsum(170 + 20 * np.sin(2 * np.pi * t)) \
+        / hp.sampling_rate
+    save_wav(os.path.join(style_dir, "calm.wav"),
+             (0.5 * np.sin(phase)).astype(np.float32), hp.sampling_rate)
+
+    service = srv.SynthesisService(ckpt_dir, style_dir,
+                                   batch_window_ms=300.0, max_batch=4)
+    assert service.batcher is not None
+
+    # record the batch sizes the batcher actually dispatched
+    seen = []
+    orig = service.run_jobs
+
+    def spy(jobs, pt):
+        seen.append(len(jobs))
+        return orig(jobs, pt)
+
+    service.run_jobs = spy
+
+    text = "{HH AH0 L OW1} {W ER1 L D}"
+    job = service.prepare_job(text)
+    ref_wav, ref_frames, _, _ = orig([job], job["pitch_transform"])[0]
+
+    with ThreadPoolExecutor(4) as ex:
+        futures = [ex.submit(service.synthesize, text) for _ in range(4)]
+        results = [f.result(timeout=600) for f in futures]
+
+    assert max(seen) > 1, seen  # requests really were collated
+    for wav, frames, _, truncated in results:
+        assert truncated is False
+        assert frames == ref_frames
+        np.testing.assert_allclose(wav, ref_wav, atol=1e-5)
+
+    # errors propagate per request, healthy requests unaffected
+    with ThreadPoolExecutor(2) as ex:
+        good = ex.submit(service.synthesize, text)
+        bad = ex.submit(service.synthesize, text, style="nope")
+        assert good.result(timeout=600)[1] == ref_frames
+        with pytest.raises(ValueError):
+            bad.result(timeout=600)
+
+
 def test_synthesize_request_validation(server):
     port, _ = server
     # valid JSON but not an object -> 400, not 500
