@@ -13,6 +13,9 @@ server adds no dependencies.
 API:
     GET  /health              -> {"status": "ok", ...}
     GET  /styles              -> {"styles": [...], "speakers": N}
+    GET  /stats               -> serving metrics (requests, p50/p95
+                                 latency ms, batch-size histogram,
+                                 truncation count)
     POST /synthesize          -> audio/wav bytes
          JSON body: {"text": "Hello world.",          (or "{HH AH0} ~")
                      "speaker_id": 0,
@@ -173,6 +176,14 @@ class SynthesisService:
         self.batcher = DynamicBatcher(self, batch_window_ms, max_batch) \
             if batch_window_ms > 0 else None
 
+        # serving metrics for /stats (guarded by its own lock; the
+        # deque keeps a rolling latency window)
+        from collections import Counter, deque
+        self._metrics_lock = threading.Lock()
+        self._metrics = {"requests": 0, "truncated": 0,
+                         "batch_sizes": Counter(),
+                         "latencies": deque(maxlen=512)}
+
     # ------------------------------------------------------------------
     def prepare_job(self, text: str, speaker_id: int | None = None,
                     style: str | None = None, dur_factor=None,
@@ -268,6 +279,7 @@ class SynthesisService:
                                 int(out_lens[row]),
                                 time.perf_counter() - job["t0"],
                                 truncated))
+            self.record_metrics(len(jobs), results)
             return results
 
         with self.lock:
@@ -285,7 +297,36 @@ class SynthesisService:
             wav = griffin_lim_reconstruction_from_mel_spec(mel, self.hp)
             results.append((np.asarray(wav, np.float32), mel.shape[1],
                             time.perf_counter() - job["t0"], truncated))
+        self.record_metrics(len(jobs), results)
         return results
+
+    def record_metrics(self, batch_size: int, results: list):
+        with self._metrics_lock:
+            m = self._metrics
+            m["requests"] += len(results)
+            m["batch_sizes"][batch_size] += 1
+            for _, _, seconds, truncated in results:
+                m["latencies"].append(seconds)
+                if truncated:
+                    m["truncated"] += 1
+
+    def stats(self) -> dict:
+        import numpy as np
+        with self._metrics_lock:
+            m = self._metrics
+            lat = list(m["latencies"])
+            return {
+                "requests": m["requests"],
+                "truncated": m["truncated"],
+                "batch_sizes": {str(k): v
+                                for k, v in sorted(m["batch_sizes"].items())},
+                "p50_latency_ms": round(
+                    float(np.median(lat)) * 1e3, 3) if lat else None,
+                "p95_latency_ms": round(float(
+                    np.percentile(lat, 95)) * 1e3, 3) if lat else None,
+                "styles": len(self.styles),
+                "dynamic_batching": self.batcher is not None,
+            }
 
     def _warn_truncated(self):
         _logger.warning(
@@ -350,6 +391,8 @@ def make_handler(service: "SynthesisService"):
                     "styles": len(service.styles),
                     "speakers": len(service.hp.speakers),
                     "vocoder": service.vocoder is not None})
+            elif self.path == "/stats":
+                self._json(200, service.stats())
             elif self.path == "/styles":
                 self._json(200, {
                     "styles": sorted(service.styles),

@@ -91,6 +91,14 @@ def test_synthesize_returns_wav(server):
     assert resp.status == 200, data
     assert resp.getheader("Content-Type") == "audio/wav"
     assert int(resp.getheader("X-Mel-Frames")) > 0
+    assert resp.getheader("X-Truncated") == "false"
+
+    # /stats reflects the traffic
+    s_resp, s_data = _request(port, "GET", "/stats")
+    stats = json.loads(s_data)
+    assert stats["requests"] >= 1
+    assert stats["p50_latency_ms"] is not None
+    assert stats["dynamic_batching"] is False
     with wave.open(io.BytesIO(data)) as w:
         assert w.getframerate() == hp.sampling_rate
         assert w.getnchannels() == 1
