@@ -77,6 +77,8 @@ class HyperParams:
         self.iters_check_for_model_improvement = 5000
         self.batch_size = 16           # GLOBAL micro-batch (sharded over the data mesh)
         self.accumulation_steps = 3    # gradient accumulation
+        self.scan_unroll = 1           # accum-scan unroll (1 measured
+                                       # fastest on v5e; tuning knob)
         self.checkpoint = ""
 
         # -------- loss weights --------

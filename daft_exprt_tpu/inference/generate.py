@@ -471,43 +471,49 @@ class InferenceEngine:
         return wavs, out_lens, overflow
 
     def warmup(self, pitch_transforms=("add",), n_symbols=None,
-               ref_frames=None):
+               ref_frames=None, batch_sizes=(1,)):
         """Compile every output-bucket executable before serving.
 
         Drives the production paths once per (pitch_transform, output
-        bucket) with a synthetic one-row batch: the FiLM executable,
-        the prosody stage, and each bucket's decode (or fused-audio,
-        with a vocoder attached) graph. On a colocated chip that is
-        seconds per graph; through a remote tunnel it can be minutes —
-        either way it happens before the first request instead of
-        inside the serving lock (single-device path only).
+        bucket, batch size) with synthetic batches: the FiLM
+        executable, the prosody stage, and each bucket's decode (or
+        fused-audio, with a vocoder attached) graph. On a colocated
+        chip that is seconds per graph; through a remote tunnel it can
+        be minutes — either way it happens before the first request
+        instead of inside the serving lock (single-device path only).
+
+        :param batch_sizes: batch occupancies to compile — pass the
+            power-of-two sizes a dynamic batcher can produce.
         """
         assert self.mesh is None, "warmup: single-device path only"
         hp = self.hp
         L = n_symbols or hp.symbol_bucket
         T_ref = ref_frames or hp.frame_bucket
-        inputs = (np.ones((1, L), np.int32),
-                  np.ones((1, L), np.float32),
-                  np.ones((1, L), np.float32),
-                  np.zeros((1, L), np.float32),
-                  np.full((1,), L, np.int32),
-                  np.zeros((1, T_ref), np.float32),
-                  np.zeros((1, T_ref), np.float32),
-                  np.zeros((1, hp.n_mel_channels, T_ref), np.float32),
-                  np.full((1,), T_ref, np.int32),
-                  np.zeros((1,), np.int32))
         key = ("__warmup__", 0)
         saved = self.out_frame_buckets
         try:
-            for pt in pitch_transforms:
-                for T in saved:
-                    # force this bucket through the production path
-                    self.out_frame_buckets = [T]
-                    if self._voc is not None:
-                        self.run_cached_to_audio(inputs, pt, [key])
-                    else:
-                        self.run_cached(inputs, pt, [key],
-                                        want_weights=False)
+            for B in batch_sizes:
+                inputs = (np.ones((B, L), np.int32),
+                          np.ones((B, L), np.float32),
+                          np.ones((B, L), np.float32),
+                          np.zeros((B, L), np.float32),
+                          np.full((B,), L, np.int32),
+                          np.zeros((B, T_ref), np.float32),
+                          np.zeros((B, T_ref), np.float32),
+                          np.zeros((B, hp.n_mel_channels, T_ref),
+                                   np.float32),
+                          np.full((B,), T_ref, np.int32),
+                          np.zeros((B,), np.int32))
+                for pt in pitch_transforms:
+                    for T in saved:
+                        # force this bucket through the production path
+                        self.out_frame_buckets = [T]
+                        if self._voc is not None:
+                            self.run_cached_to_audio(inputs, pt,
+                                                     [key] * B)
+                        else:
+                            self.run_cached(inputs, pt, [key] * B,
+                                            want_weights=False)
         finally:
             self.out_frame_buckets = saved
             self._film_cache.pop(key, None)

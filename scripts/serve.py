@@ -121,9 +121,16 @@ class DynamicBatcher:
                     for (_, event, slot), res in zip(items, results):
                         slot["result"] = res
                         event.set()
-                except Exception as e:  # noqa: BLE001 -- per-batch
-                    for _, event, slot in items:
-                        slot["error"] = e
+                except Exception:  # noqa: BLE001 -- isolate per request
+                    # a row-specific failure must not 500 its batch
+                    # mates: retry each job alone; solo failures
+                    # propagate to their own request only
+                    for job, event, slot in items:
+                        try:
+                            slot["result"] = self.service.run_jobs(
+                                [job], pt)[0]
+                        except Exception as e:  # noqa: BLE001
+                            slot["error"] = e
                         event.set()
 
 
@@ -179,6 +186,7 @@ class SynthesisService:
         # serving metrics for /stats (guarded by its own lock; the
         # deque keeps a rolling latency window)
         from collections import Counter, deque
+        self._warming = False
         self._metrics_lock = threading.Lock()
         self._metrics = {"requests": 0, "truncated": 0,
                          "batch_sizes": Counter(),
@@ -301,6 +309,8 @@ class SynthesisService:
         return results
 
     def record_metrics(self, batch_size: int, results: list):
+        if self._warming:  # compile-dominated, would skew /stats
+            return
         with self._metrics_lock:
             m = self._metrics
             m["requests"] += len(results)
@@ -348,15 +358,27 @@ class SynthesisService:
     def warmup(self, pitch_transforms=("add",)):
         """Compile the serving executables before accepting traffic.
 
-        Covers EVERY output bucket (engine.warmup) plus the
-        phonemizer/collation path once; pre-phonemized so it works
-        without the MFA dictionary. Requests whose bucket was not
-        warmed would otherwise compile inside the serving lock.
+        Covers EVERY output bucket and — with dynamic batching on —
+        every power-of-two batch occupancy the batcher can produce
+        (engine.warmup), plus the phonemizer/collation path once;
+        pre-phonemized so it works without the MFA dictionary.
+        Requests whose executable was not warmed would otherwise
+        compile inside the serving lock. Warmup traffic is excluded
+        from /stats.
         """
         t0 = time.perf_counter()
-        self.engine.warmup(pitch_transforms)
-        self.synthesize("{DH IH1 S} {IH1 Z} {AH0} "
-                        "{W AO1 R M AH0 P} {S EH1 N T AH0 N S}.")
+        batch_sizes = [1]
+        if self.batcher is not None:
+            while batch_sizes[-1] < self.batcher.max_batch:
+                batch_sizes.append(batch_sizes[-1] * 2)
+        self._warming = True
+        try:
+            self.engine.warmup(pitch_transforms,
+                               batch_sizes=tuple(batch_sizes))
+            self.synthesize("{DH IH1 S} {IH1 Z} {AH0} "
+                            "{W AO1 R M AH0 P} {S EH1 N T AH0 N S}.")
+        finally:
+            self._warming = False
         _logger.info(
             f"warmup compile done in {time.perf_counter() - t0:.1f}s")
 

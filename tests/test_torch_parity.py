@@ -223,7 +223,7 @@ def test_export_state_dict_roundtrip():
     tmodel = ref_model.DaftExprt(_torch_hparams(hp))
     sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
 
-    back = export_state_dict(convert_state_dict(sd, hp), hp)
+    back = export_state_dict(convert_state_dict(sd, hp))
     assert set(back) == set(sd), (set(sd) - set(back),
                                   set(back) - set(sd))
     for k in sd:

@@ -164,7 +164,7 @@ def convert_state_dict(sd: dict, hparams) -> dict:
 # ----------------------------------------------------------------------
 # Reverse direction: our pytree -> reference torch state_dict
 # ----------------------------------------------------------------------
-def export_state_dict(params: dict, hparams) -> dict:
+def export_state_dict(params: dict) -> dict:
     """Our params pytree -> reference-format state_dict (numpy arrays).
 
     Exact inverse of :func:`convert_state_dict` (same key map as the

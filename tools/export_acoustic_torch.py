@@ -51,21 +51,34 @@ def load_params_and_config(ckpt_dir: str):
 def export(ckpt_dir: str, out_path: str) -> dict:
     import torch
 
-    from daft_exprt_tpu.config import HyperParams
-
     params, config, meta = load_params_and_config(ckpt_dir)
-    drop = {"n_symbols", "mfa_dictionary", "mfa_g2p_model",
-            "mfa_acoustic_model"}
-    hp = HyperParams(verbose=False, **{
-        k: v for k, v in config.items() if k not in drop})
-    sd = export_state_dict(params, hp)
+    sd = export_state_dict(params)
     # the reference HyperParams asserts every attribute is non-None
     config_params = {k: v for k, v in config.items() if v is not None}
+
+    iteration = int(meta.get("iteration") or 0)
+    lr = meta.get("learning_rate")
+    if lr is None:
+        # training meta.json doesn't store the LR (it is a pure
+        # function of the iteration); recompute it so a reference-side
+        # warm start doesn't silently resume with LR 0
+        try:
+            from types import SimpleNamespace
+
+            from daft_exprt_tpu.training.schedule import make_lr_schedule
+            sched_hp = SimpleNamespace(
+                initial_learning_rate=config["initial_learning_rate"],
+                max_learning_rate=config["max_learning_rate"],
+                warmup_steps=config["warmup_steps"])
+            lr = float(make_lr_schedule(sched_hp)(max(iteration, 1)))
+        except Exception:
+            lr = 0.0
+    best = meta.get("best_val_loss")
     blob = {
-        "iteration": int(meta.get("iteration") or 0),
-        "learning_rate": float(meta.get("learning_rate") or 0.0),
-        "best_val_loss": float(meta.get("best_val_loss")
-                               or float("inf")),
+        "iteration": iteration,
+        "learning_rate": float(lr),
+        "best_val_loss": float(best) if best is not None
+        else float("inf"),
         "state_dict": {k: torch.from_numpy(np.ascontiguousarray(v))
                        for k, v in sd.items()},
         "optimizer": None,  # reference load recreates on mismatch
