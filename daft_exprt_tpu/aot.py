@@ -1,0 +1,166 @@
+"""Disk-backed AOT executable cache for serving cold-start.
+
+XLA's persistent compilation cache does not cover every backend (in
+particular, remote-attached TPU backends recompile every graph in each
+fresh process), so a serving process pays minutes of server-side
+compilation per graph before the first request: the full inference
+engine spans prosody/decode-bucket variants plus the fused
+acoustic+vocoder graphs. JAX can serialize a *compiled* executable
+(``jax.experimental.serialize_executable``); caching those blobs on
+disk turns process cold-start from minutes per graph into a
+sub-second deserialize + load.
+
+The reference has no analog — eager PyTorch pays no compile, but gets
+none of the whole-graph fusion this framework's speed comes from
+(reference inference is eager CUDA, ``scripts/synthesize.py:33-84``).
+
+Keying: SHA-256 over (jax/jaxlib version, backend platform + device
+kind + device count, a caller label, and the lowered StableHLO text of
+the exact graph). Any change to the model code, weights baked in as
+jit constants, shapes, or software stack therefore misses cleanly and
+falls back to a normal compile; deserialization failures likewise fall
+back rather than raise.
+
+Security note: cache files are pickles (executable payload + pytree
+defs). Only point ``DAFT_AOT_CACHE`` at a directory you trust —
+loading a pickle executes arbitrary code by design.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+import os
+import pickle
+import tempfile
+
+import jax
+
+_logger = logging.getLogger(__name__)
+
+ENV_VAR = "DAFT_AOT_CACHE"
+
+
+def default_cache_dir() -> str | None:
+    """Cache dir from ``$DAFT_AOT_CACHE`` (empty/unset = disabled)."""
+    path = os.environ.get(ENV_VAR, "")
+    return path or None
+
+
+def backend_fingerprint() -> str:
+    """String identifying the software + device stack an executable is
+    valid for. Conservative: any mismatch is a cache miss."""
+    import jaxlib
+
+    devices = jax.devices()
+    return "|".join([
+        jax.__version__, getattr(jaxlib, "__version__", "?"),
+        jax.default_backend(), devices[0].device_kind,
+        str(len(devices)), str(jax.process_count()),
+    ])
+
+
+def _arg_signature(args):
+    leaves, treedef = jax.tree_util.tree_flatten(args)
+    shapes = tuple((getattr(x, "shape", ()), str(getattr(x, "dtype", type(x))))
+                   for x in leaves)
+    return (treedef, shapes)
+
+
+class _AotJit:
+    """``jax.jit``-like callable whose per-shape executables are
+    persisted via :class:`AotCache`. Non-donating, non-static-arg
+    functions only (all inference-engine graphs qualify)."""
+
+    def __init__(self, fn, cache: "AotCache", label: str):
+        self._jit = jax.jit(fn)
+        self._cache = cache
+        self._label = label
+        self._by_sig = {}
+
+    def __call__(self, *args):
+        sig = _arg_signature(args)
+        exe = self._by_sig.get(sig)
+        if exe is None:
+            exe = self._cache._load_or_compile(self._jit, args, self._label)
+            self._by_sig[sig] = exe
+        return exe(*args)
+
+    # parity with jax.jit's AOT API, used by warmup paths
+    def lower(self, *args):
+        return self._jit.lower(*args)
+
+
+class AotCache:
+    """Directory of serialized executables + hit/miss stats.
+
+    ``wrap(fn, label)`` returns a drop-in replacement for
+    ``jax.jit(fn)``; per concrete input signature the executable is
+    deserialized from disk when present, else compiled and saved.
+    """
+
+    def __init__(self, cache_dir: str):
+        self.dir = cache_dir
+        os.makedirs(cache_dir, exist_ok=True)
+        self.stats = {"loads": 0, "compiles": 0, "load_errors": 0,
+                      "save_errors": 0}
+        self._fingerprint = None
+
+    def wrap(self, fn, label: str) -> _AotJit:
+        return _AotJit(fn, self, label)
+
+    # ------------------------------------------------------------------
+    def _path(self, jitted, args, label: str) -> tuple[str, "jax.stages.Lowered"]:
+        if self._fingerprint is None:
+            self._fingerprint = backend_fingerprint()
+        lowered = jitted.lower(*args)
+        h = hashlib.sha256()
+        h.update(self._fingerprint.encode())
+        h.update(b"\0" + label.encode() + b"\0")
+        h.update(lowered.as_text().encode())
+        safe = "".join(c if c.isalnum() or c in "-_" else "_"
+                       for c in label)[:48]
+        return (os.path.join(self.dir, f"{safe}-{h.hexdigest()[:20]}.aotx"),
+                lowered)
+
+    def _load_or_compile(self, jitted, args, label: str):
+        from jax.experimental import serialize_executable
+
+        path, lowered = self._path(jitted, args, label)
+        if os.path.exists(path):
+            try:
+                with open(path, "rb") as f:
+                    payload, in_tree, out_tree, dev_ids = pickle.load(f)
+                # deserialize_and_load defaults execution_devices to ALL
+                # local devices; a single-device executable on a
+                # multi-device host then demands per-device shards.
+                # Re-bind to the same device ids it was compiled for.
+                by_id = {d.id: d for d in jax.devices()}
+                exe = serialize_executable.deserialize_and_load(
+                    payload, in_tree, out_tree,
+                    execution_devices=[by_id[i] for i in dev_ids])
+                self.stats["loads"] += 1
+                return exe
+            except Exception as e:  # stale/corrupt blob -> recompile
+                self.stats["load_errors"] += 1
+                _logger.warning("AOT cache load failed for %s (%s); "
+                                "recompiling", path, e)
+        compiled = lowered.compile()
+        self.stats["compiles"] += 1
+        try:
+            dev_set = set()
+            for s in jax.tree_util.tree_leaves(compiled.input_shardings) \
+                    + jax.tree_util.tree_leaves(compiled.output_shardings):
+                dev_set |= getattr(s, "device_set", set())
+            dev_ids = sorted(d.id for d in dev_set) or [0]
+            payload, in_tree, out_tree = serialize_executable.serialize(
+                compiled)
+            fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
+            with os.fdopen(fd, "wb") as f:
+                pickle.dump((payload, in_tree, out_tree, dev_ids), f)
+            os.replace(tmp, path)  # atomic: concurrent readers see
+            # either the old blob or the complete new one
+        except Exception as e:  # non-serializable backend/graph: run
+            self.stats["save_errors"] += 1  # from the in-memory compile
+            _logger.warning("AOT cache save failed for %s (%s)", path, e)
+        return compiled

@@ -172,7 +172,7 @@ class InferenceEngine:
 
     def __init__(self, model, params, hparams, max_out_frames=None,
                  mesh=None, out_frame_buckets=None,
-                 bucket_policy: str = "speculate"):
+                 bucket_policy: str = "speculate", aot_cache=None):
         """:param out_frame_buckets: ascending static decoder output
             lengths to compile (single-device path). Default: quarter
             multiples of ``max_out_frames``. A short utterance then pays
@@ -186,7 +186,13 @@ class InferenceEngine:
             ``"measure"`` reads the predicted ``durations_int`` sums
             after the prosody stage (a few-hundred-byte sync) and picks
             the exact smallest bucket — never over-decodes, never
-            re-runs. Best colocated, where a sync costs microseconds."""
+            re-runs. Best colocated, where a sync costs microseconds.
+        :param aot_cache: directory (or :class:`daft_exprt_tpu.aot.
+            AotCache`) holding serialized executables; every engine
+            graph is then loaded from disk when already compiled once,
+            instead of paying a fresh XLA compile per process (see
+            aot.py). Default: ``$DAFT_AOT_CACHE`` if set. Single-device
+            engines only; mesh engines ignore it."""
         self.model = model
         self.hp = hparams
         self.max_out_frames = max_out_frames or hparams.max_frames
@@ -207,6 +213,12 @@ class InferenceEngine:
             params = jax.device_put(params, replicated(mesh))
         self.params = params
         self._compiled = {}
+        from daft_exprt_tpu import aot
+        if aot_cache is None:
+            aot_cache = aot.default_cache_dir()
+        if isinstance(aot_cache, str):
+            aot_cache = aot.AotCache(aot_cache)
+        self._aot = aot_cache if mesh is None else None
         assert bucket_policy in ("speculate", "measure"), bucket_policy
         self.bucket_policy = bucket_policy
         self._voc = None  # set by attach_vocoder
@@ -274,6 +286,12 @@ class InferenceEngine:
             return self.out_frame_buckets[-1]
         return self._pick_out_bucket(inputs)
 
+    def _jit(self, fn, label: str):
+        """jax.jit, or its AOT-cache-backed equivalent when enabled."""
+        if self._aot is not None:
+            return self._aot.wrap(fn, label)
+        return jax.jit(fn)
+
     def _fn_prosody(self, pitch_transform: str, with_films: bool):
         key = ("prosody", pitch_transform, with_films)
         if key not in self._compiled:
@@ -287,15 +305,17 @@ class InferenceEngine:
                     return self.model.inference_prosody(
                         params, inputs, pitch_transform, self.pitch_means,
                         self.pitch_stds)
-            self._compiled[key] = jax.jit(run)
+            self._compiled[key] = self._jit(
+                run, f"prosody-{pitch_transform}-{int(with_films)}")
         return self._compiled[key]
 
     def _fn_decode(self, max_frames: int):
         key = ("decode", max_frames)
         if key not in self._compiled:
-            self._compiled[key] = jax.jit(
+            self._compiled[key] = self._jit(
                 lambda p, enc, film, preds: self.model.inference_decode(
-                    p, enc, film, preds, max_frames=max_frames))
+                    p, enc, film, preds, max_frames=max_frames),
+                f"decode-{max_frames}")
         return self._compiled[key]
 
     def _fn(self, pitch_transform: str):
@@ -305,7 +325,7 @@ class InferenceEngine:
                     params, inputs, pitch_transform, self.pitch_means,
                     self.pitch_stds, max_frames=self.max_out_frames)
             if self.mesh is None:
-                jitted = jax.jit(run)
+                jitted = self._jit(run, f"full-{pitch_transform}")
             else:
                 # shard_map, not GSPMD propagation: the fused Pallas
                 # kernels are custom calls the automatic partitioner
@@ -438,7 +458,8 @@ class InferenceEngine:
                                           mrf=mrf_mode)
                 return audio, out_lens, overflow
 
-            self._compiled[key] = jax.jit(run)
+            self._compiled[key] = self._jit(
+                run, f"audio-{pitch_transform}-{max_frames}")
         return self._compiled[key]
 
     def run_cached_to_audio(self, inputs, pitch_transform: str, film_keys):
@@ -548,9 +569,9 @@ class InferenceEngine:
 
     def _fn_film(self):
         if "film" not in self._compiled:
-            self._compiled["film"] = jax.jit(
+            self._compiled["film"] = self._jit(
                 lambda p, e, pi, m, rl, s:
-                self.model.inference_film(p, e, pi, m, rl, s))
+                self.model.inference_film(p, e, pi, m, rl, s), "film")
         return self._compiled["film"]
 
     def run(self, inputs, pitch_transform: str,

@@ -140,7 +140,7 @@ class SynthesisService:
     def __init__(self, checkpoint: str, style_bank: str,
                  vocoder: str = "", vocoder_config: str | None = None,
                  default_speaker: int = 0, batch_window_ms: float = 0.0,
-                 max_batch: int = 8):
+                 max_batch: int = 8, aot_cache: str | None = None):
         from synthesize import load_any_checkpoint
 
         from daft_exprt_tpu.inference.generate import (
@@ -149,7 +149,8 @@ class SynthesisService:
 
         self.params, self.hp = load_any_checkpoint(checkpoint)
         self.model = DaftExprt(self.hp)
-        self.engine = InferenceEngine(self.model, self.params, self.hp)
+        self.engine = InferenceEngine(self.model, self.params, self.hp,
+                                      aot_cache=aot_cache)
         self.default_speaker = default_speaker
         self.lock = threading.Lock()  # one chip, serialized dispatch
 
@@ -492,6 +493,11 @@ def main():
     parser.add_argument("--max_batch", type=int, default=8)
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=8080)
+    parser.add_argument("--aot_cache", default=None,
+                        help="directory of serialized executables: a "
+                             "restarted server loads its compiled "
+                             "graphs from disk instead of recompiling "
+                             "(default: $DAFT_AOT_CACHE if set)")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO,
@@ -501,7 +507,8 @@ def main():
         args.checkpoint, args.style_bank, vocoder=args.vocoder,
         vocoder_config=args.vocoder_config,
         default_speaker=args.default_speaker,
-        batch_window_ms=args.batch_window_ms, max_batch=args.max_batch)
+        batch_window_ms=args.batch_window_ms, max_batch=args.max_batch,
+        aot_cache=args.aot_cache)
     serve(service, args.host, args.port).serve_forever()
 
 
