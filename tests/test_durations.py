@@ -37,15 +37,23 @@ def test_exact_invariants(hp, rng_np):
 
 
 def test_vectorized_matches_exact(hp, rng_np):
-    """The closed-form jit-compatible op reproduces the host algorithm."""
+    """The closed-form jit-compatible op reproduces the host algorithm.
+
+    All 30 random cases are padded to one fixed width so the op compiles
+    once (trailing zeros are inert: test_vectorized_zero_durations).
+    """
+    width = 40
     for _ in range(30):
-        n = int(rng_np.integers(3, 40))
+        n = int(rng_np.integers(3, width + 1))
         float_durs, durs = _random_durations(rng_np, n)
         exact = duration_to_integer(list(float_durs), hp)
+        padded = np.zeros(width, np.float32)
+        padded[:n] = durs
         vec = np.asarray(durations_to_int_frames(
-            durs[None, :].astype(np.float32), hp.sampling_rate,
+            padded[None, :], hp.sampling_rate,
             hp.filter_length, hp.hop_length, hp.centered))[0]
-        np.testing.assert_array_equal(np.array(exact), vec)
+        np.testing.assert_array_equal(np.array(exact), vec[:n])
+        assert np.all(vec[n:] == 0)
 
 
 def test_vectorized_zero_durations(hp, rng_np):
