@@ -29,9 +29,23 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 import numpy as np  # noqa: E402
 
 from __graft_entry__ import _flagship_hparams, _synthetic_inference_inputs
+from daft_exprt_tpu.aot import AotCache
 from daft_exprt_tpu.models.daft_exprt import DaftExprt
 
 NORTH_STAR_RTF = 50.0
+
+# The XLA persistent cache does not cover remote-attached TPU backends,
+# so a fresh bench process would recompile every graph (minutes through
+# the tunnel). Serialized-executable caching (aot.py) does work there:
+# the first-ever run compiles and saves, every later run deserializes
+# in under a second per graph.
+_AOT = AotCache(os.environ.get("DAFT_AOT_CACHE")
+                or "/tmp/daft_exprt_aot_cache")
+
+
+def _jit(fn, label: str):
+    """AOT-cached jax.jit for the bench's non-donating graphs."""
+    return _AOT.wrap(fn, label)
 
 
 def _p50_utterance_latency_ms(model, hp, params):
@@ -53,10 +67,11 @@ def _p50_utterance_latency_ms(model, hp, params):
     pitch_means = jnp.full((hp.n_speakers,), 5.0, jnp.float32)
     pitch_stds = jnp.full((hp.n_speakers,), 0.3, jnp.float32)
 
-    @jax.jit
     def infer(params, inputs):
         return model.inference(params, inputs, "add", pitch_means,
                                pitch_stds, max_frames=T)
+
+    infer = _jit(infer, "bench_infer_b1")
 
     inputs = jax.device_put(inputs, jax.devices()[0])
     out = infer(params, inputs)
@@ -100,11 +115,38 @@ def _p50_short_utterance_ms(model, hp, params):
     from per-symbol duration stats, so a short sentence pays a short
     decoder pass (VERDICT round-1 item 7).
 
-    Returns (p50_bucketed_ms, p50_fused_ms, bucket_frames).
+    Host-observed medians include one axon-tunnel RTT per dispatch in
+    this rig (two dispatches for the bucketed engine, one for the fused
+    graph), which inverts the comparison off-chip; the *_device_ms
+    values (profiler module envelopes per call) are what a colocated
+    server sees, and there the short decode bucket wins.
+
+    Returns (p50_bucketed_ms, p50_fused_ms, bucket_frames,
+             bucketed_device_ms, fused_device_ms).
     """
     from daft_exprt_tpu.inference.generate import InferenceEngine
+    from daft_exprt_tpu.utils import aggregate_device_trace
 
     import jax.numpy as jnp
+
+    def _device_ms_per_call(run, n=10, tag="short"):
+        """Sum of jit-module device time per call of ``run()``."""
+        try:
+            trace_dir = f"/tmp/daft_bench_{tag}_trace"
+            os.system(f"rm -rf {trace_dir}")
+            jax.profiler.start_trace(trace_dir)
+            try:
+                out = None
+                for _ in range(n):
+                    out = run()
+                jax.block_until_ready(out)
+            finally:
+                jax.profiler.stop_trace()
+            agg, _ = aggregate_device_trace(trace_dir, level="modules")
+            tot = sum(v for k, v in agg.items() if k.startswith("jit"))
+            return round(float(tot) / n, 3) if tot else None
+        except Exception:
+            return None
 
     B, L, T_ref, T_max = 1, 16, 512, 512
     # plausible English phone-duration stats (the flagship synthetic
@@ -113,7 +155,8 @@ def _p50_short_utterance_ms(model, hp, params):
     hp.stats["symbols"] = {s: {"dur_mean": 0.09, "dur_std": 0.03}
                            for s in hp.symbols}
     inputs = _synthetic_inference_inputs(hp, B, L, T_ref, seed=2)
-    engine = InferenceEngine(model, params, hp, max_out_frames=T_max)
+    engine = InferenceEngine(model, params, hp, max_out_frames=T_max,
+                             aot_cache=_AOT)
     bucket = engine._pick_out_bucket(inputs)
 
     engine.run(inputs, "add")  # warmup/compile (incl. possible re-run)
@@ -123,14 +166,17 @@ def _p50_short_utterance_ms(model, hp, params):
         engine.run(inputs, "add")
         times.append(time.perf_counter() - t0)
     p50_bucketed = float(np.median(times) * 1e3)
+    bucketed_device_ms = _device_ms_per_call(
+        lambda: engine.run(inputs, "add"), tag="short_bucketed")
 
     pitch_means = jnp.full((hp.n_speakers,), 5.0, jnp.float32)
     pitch_stds = jnp.full((hp.n_speakers,), 0.3, jnp.float32)
 
-    @jax.jit
     def infer_full(params, inputs):
         return model.inference(params, inputs, "add", pitch_means,
                                pitch_stds, max_frames=T_max)
+
+    infer_full = _jit(infer_full, "bench_infer_full_short")
 
     dev_inputs = jax.device_put(inputs, jax.devices()[0])
     out = infer_full(params, dev_inputs)
@@ -141,7 +187,10 @@ def _p50_short_utterance_ms(model, hp, params):
         out = jax.device_get(infer_full(params, dev_inputs))
         times.append(time.perf_counter() - t0)
     p50_fused = float(np.median(times) * 1e3)
-    return p50_bucketed, p50_fused, bucket
+    fused_device_ms = _device_ms_per_call(
+        lambda: infer_full(params, dev_inputs), tag="short_fused")
+    return (p50_bucketed, p50_fused, bucket, bucketed_device_ms,
+            fused_device_ms)
 
 
 def _train_steps_per_sec(hp):
@@ -220,10 +269,10 @@ def _vocoder_rtf():
     arrays = jax.device_put(arrays, dev)
     mel = jax.device_put(np.random.default_rng(0).standard_normal(
         (8, 80, 256)).astype(np.float32), dev)
-    fn = jax.jit(lambda a, m: gen.apply_blocked(plan, a, m))
+    fn = _jit(lambda a, m: gen.apply_blocked(plan, a, m), "bench_vocoder")
     wav = fn(arrays, mel)
     jax.block_until_ready(wav)
-    iters = 20
+    iters = 40  # longer window: tunnel-dispatch jitter averages out
     t0 = time.perf_counter()
     for _ in range(iters):
         wav = fn(arrays, mel)
@@ -296,10 +345,11 @@ def main():
     pitch_means = jnp.full((hp.n_speakers,), 5.0, jnp.float32)
     pitch_stds = jnp.full((hp.n_speakers,), 0.3, jnp.float32)
 
-    @jax.jit
     def infer(params, inputs):
         return model.inference(params, inputs, "add", pitch_means,
                                pitch_stds, max_frames=T)
+
+    infer = _jit(infer, "bench_infer_batched")
 
     # Keep inputs resident on device: the steady-state serving loop
     # reuses device buffers; re-staging host arrays per call would
@@ -358,7 +408,7 @@ def main():
     # reference (InferenceEngine.run_cached); steady state skips the
     # prosody encoder entirely. Measured device-resident like the
     # primary metric (host round trips are a tunnel artifact here).
-    films = jax.jit(model.inference_film)(params, *inputs[5:10])
+    films = _jit(model.inference_film, "bench_film")(params, *inputs[5:10])
     dummy = (jnp.zeros((B, 1), jnp.float32),
              jnp.zeros((B, 1), jnp.float32),
              jnp.zeros((B, hp.n_mel_channels, 1), jnp.float32),
@@ -366,10 +416,11 @@ def main():
     slim = tuple(jax.device_put(x, device) for x in
                  tuple(inputs[:5]) + dummy + (inputs[9],))
 
-    @jax.jit
     def infer_cached(params, slim, films):
         return model.inference(params, slim, "add", pitch_means,
                                pitch_stds, max_frames=T, films=films)
+
+    infer_cached = _jit(infer_cached, "bench_infer_cached")
 
     out = infer_cached(params, slim, films)
     jax.block_until_ready(out)
@@ -382,7 +433,8 @@ def main():
         / cached_wall
 
     p50_ms, device_ms = _p50_utterance_latency_ms(model, hp, params)
-    p50_short_bucketed, p50_short_fused, short_bucket = \
+    (p50_short_bucketed, p50_short_fused, short_bucket,
+     short_bucketed_dev_ms, short_fused_dev_ms) = \
         _p50_short_utterance_ms(model, hp, params)
     steps_per_sec, train_mfu = _train_steps_per_sec(hp)
     rtf_vocoder = _vocoder_rtf()
@@ -403,6 +455,8 @@ def main():
             "utterance_device_time_ms": device_ms,
             "p50_short_utt_bucketed_ms": round(p50_short_bucketed, 3),
             "p50_short_utt_fused_ms": round(p50_short_fused, 3),
+            "short_utt_bucketed_device_ms": short_bucketed_dev_ms,
+            "short_utt_fused_device_ms": short_fused_dev_ms,
             "short_utt_decode_bucket": short_bucket,
             "train_steps_per_sec": round(steps_per_sec, 3),
             "mfu_train_step": train_mfu,

@@ -48,6 +48,60 @@ def save_checkpoint(ckpt_dir: str, iteration: int, params, opt_state,
     return path
 
 
+class AsyncSaver:
+    """Non-blocking checkpoint writes.
+
+    The reference's ``torch.save`` stalls the train loop for the full
+    serialization (train.py:461-467); here ``save()`` only blocks for
+    the device->host copy (so the trainer may immediately donate /
+    overwrite the source buffers) and persists to disk on Orbax
+    background threads. At most one save is in flight: a new ``save``
+    first waits out the previous one. Directory layout and meta.json
+    are identical to :func:`save_checkpoint`, so
+    :func:`load_checkpoint` reads either; call :meth:`wait` before
+    reading a just-written checkpoint and :meth:`close` when training
+    ends.
+
+    Multi-host: Orbax async saves are collectives -- every process
+    must call ``save``/``wait``, exactly as with the sync path.
+    """
+
+    def __init__(self):
+        self._ckptrs = (
+            ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler()),
+            ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler()))
+
+    def save(self, ckpt_dir: str, iteration: int, params, opt_state,
+             hparams, best_val_loss: float, name: str | None = None):
+        import jax
+
+        self.wait()
+        name = name or f"DaftExprt_{iteration}"
+        path = os.path.abspath(os.path.join(ckpt_dir, name))
+        self._ckptrs[0].save(os.path.join(path, "params"),
+                             args=ocp.args.PyTreeSave(params), force=True)
+        self._ckptrs[1].save(os.path.join(path, "opt_state"),
+                             args=ocp.args.PyTreeSave(opt_state),
+                             force=True)
+        if jax.process_index() == 0:
+            os.makedirs(path, exist_ok=True)
+            meta = {"iteration": iteration,
+                    "best_val_loss": float(best_val_loss),
+                    "config_params": hparams.as_dict()}
+            with open(os.path.join(path, "meta.json"), "w") as f:
+                json.dump(meta, f, indent=2, default=float)
+        return path
+
+    def wait(self):
+        for c in self._ckptrs:
+            c.wait_until_finished()
+
+    def close(self):
+        self.wait()
+        for c in self._ckptrs:
+            c.close()
+
+
 def check_config_compat(saved_config: dict, hparams):
     """Feature hparams must match exactly; others warn on mismatch."""
     current = hparams.as_dict()

@@ -29,8 +29,7 @@ from daft_exprt_tpu.data.loader import EvalLoader, FeatureDataset, \
     TrainLoader
 from daft_exprt_tpu.models.daft_exprt import DaftExprt
 from daft_exprt_tpu.parallel.mesh import make_mesh, replicated, shard_batch
-from daft_exprt_tpu.training.checkpoint import load_checkpoint, \
-    save_checkpoint
+from daft_exprt_tpu.training.checkpoint import AsyncSaver, load_checkpoint
 from daft_exprt_tpu.training.logger import TrainingLogger
 from daft_exprt_tpu.training.step import (_batch_to_inputs, make_eval_step,
                                           make_optimizer, make_train_step)
@@ -63,6 +62,31 @@ class Trainer:
         self.is_chief = jax.process_index() == 0
         self.iteration = 0
         self.best_val_loss = float("inf")
+        # Preemption tolerance (beyond the reference, which has none --
+        # SURVEY §5 "failure detection"): request_stop() makes the loop
+        # exit at the next step boundary after writing DaftExprt_last.
+        self._stop_requested = False
+        self.preempt_sync_every = 10  # multi-host stop-flag agreement
+
+    # ------------------------------------------------------------------
+    def request_stop(self):
+        """Ask the training loop to checkpoint and exit at the next
+        step boundary. Signal-handler safe (only sets a flag)."""
+        self._stop_requested = True
+
+    def _should_stop(self) -> bool:
+        """Single-process: the local flag. Multi-host: all processes
+        must agree (checkpoint saves are collectives), so the flag is
+        max-reduced across processes every ``preempt_sync_every``
+        steps -- a preemption SIGTERM may land on one host only."""
+        if jax.process_count() == 1:
+            return self._stop_requested
+        if self.iteration % self.preempt_sync_every:
+            return False
+        from jax.experimental import multihost_utils
+        flags = multihost_utils.process_allgather(
+            np.int32(self._stop_requested))
+        return bool(np.max(flags))
 
     # ------------------------------------------------------------------
     def init_state(self, seed: int | None = None):
@@ -209,6 +233,7 @@ class Trainer:
             if hp.checkpoint:
                 params, opt_state = self.resume(hp.checkpoint, params,
                                                 opt_state)
+        saver = AsyncSaver()
         train_loader, val_loader = self.make_loaders()
         steps_per_epoch = train_loader.batches_per_epoch()
         assert steps_per_epoch > 0, (
@@ -275,7 +300,7 @@ class Trainer:
                     if val.get("loss", float("inf")) \
                             < self.best_val_loss:
                         self.best_val_loss = val["loss"]
-                        save_checkpoint(
+                        saver.save(
                             ckpt_dir, self.iteration, params,
                             opt_state, hp, self.best_val_loss,
                             name="DaftExprt_best")
@@ -283,7 +308,7 @@ class Trainer:
                             _logger.info("new best model saved")
 
                 if self.iteration % hp.iters_per_checkpoint == 0:
-                    path = save_checkpoint(
+                    path = saver.save(
                         ckpt_dir, self.iteration, params, opt_state,
                         hp, self.best_val_loss)
                     if self.is_chief:
@@ -291,12 +316,21 @@ class Trainer:
                         if benchmark_hook is not None:
                             benchmark_hook(self._host_local(params),
                                            self.iteration, out_dir)
+
+                if self._should_stop():
+                    _logger.warning(
+                        f"stop requested at iteration {self.iteration} "
+                        "(preemption?) -- writing DaftExprt_last and "
+                        "exiting")
+                    target = self.iteration  # ends the outer loop too
+                    break
             epoch += 1
 
         if self._profiling:  # training ended inside the profile window
             self._stop_profile(out_dir)
-        save_checkpoint(ckpt_dir, self.iteration, params, opt_state,
-                        hp, self.best_val_loss, name="DaftExprt_last")
+        saver.save(ckpt_dir, self.iteration, params, opt_state,
+                   hp, self.best_val_loss, name="DaftExprt_last")
+        saver.close()  # flush in-flight writes before returning
         if self.is_chief:
             logger_tb.close()
         return params, opt_state
@@ -310,8 +344,26 @@ class Trainer:
 def launch_training(hparams, benchmark_hook=None,
                     max_iterations: int | None = None,
                     profile_steps: int = 0):
-    """Seed, build a Trainer and run (reference train.py:497-610)."""
+    """Seed, build a Trainer and run (reference train.py:497-610).
+
+    SIGTERM (the Cloud TPU preemption notice) triggers a clean exit:
+    the loop finishes its current step, writes ``DaftExprt_last`` and
+    returns, so a preempted run resumes with ``--checkpoint`` losing
+    at most one optimizer step.
+    """
+    import signal
+
     np.random.seed(hparams.seed)
     trainer = Trainer(hparams, profile_steps=profile_steps)
-    return trainer.train(benchmark_hook=benchmark_hook,
-                         max_iterations=max_iterations)
+    prev_handler = None
+    try:  # signal.signal only works on the main thread
+        prev_handler = signal.signal(
+            signal.SIGTERM, lambda signum, frame: trainer.request_stop())
+    except ValueError:
+        pass
+    try:
+        return trainer.train(benchmark_hook=benchmark_hook,
+                             max_iterations=max_iterations)
+    finally:
+        if prev_handler is not None:
+            signal.signal(signal.SIGTERM, prev_handler)

@@ -36,7 +36,7 @@ import pytest  # noqa: E402
 _FAST_MODULES = {
     "test_text", "test_phonemizer", "test_config", "test_durations",
     "test_utils", "test_evaluation", "test_loss", "test_mel",
-    "test_pitch", "test_audio", "test_modules",
+    "test_pitch", "test_audio", "test_modules", "test_checkpoint",
 }
 
 
