@@ -55,10 +55,10 @@ class GrainTrainLoader(TrainLoader):
         self.worker_count = worker_count
         self.read_ahead = read_ahead
 
-    def epoch(self, epoch_idx: int):
+    def epoch(self, epoch_idx: int, start_step: int = 0):
         import grain.python as grain
 
-        plan = self.plan_epoch(epoch_idx)
+        plan = self.plan_epoch(epoch_idx)[start_step:]
         if not plan:
             return
         source = _StepSource(self, plan)

@@ -279,9 +279,16 @@ class TrainLoader:
             batch[k] = np.stack([m[k] for m in micros])
         return batch
 
-    def epoch(self, epoch_idx: int):
-        """Yield stacked batches for one epoch."""
-        for step in self.plan_epoch(epoch_idx):
+    def epoch(self, epoch_idx: int, start_step: int = 0):
+        """Yield stacked batches for one epoch.
+
+        :param start_step: skip the first N planned steps -- mid-epoch
+            resume continues exactly where an interrupted run stopped
+            (the reference replays the whole epoch, train.py:358-368).
+            The per-epoch plan is deterministic and metadata-only, so
+            skipping costs no payload I/O.
+        """
+        for step in self.plan_epoch(epoch_idx)[start_step:]:
             yield self.assemble(step)
 
 

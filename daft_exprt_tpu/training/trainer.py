@@ -246,9 +246,13 @@ class Trainer:
         rng = jax.random.key(hp.seed,
                              impl=getattr(hp, "dropout_prng", "rbg"))
         epoch = self.iteration // max(steps_per_epoch, 1)
+        # mid-epoch resume: continue at the exact planned step the
+        # interrupted run stopped at instead of replaying the epoch
+        start_step = self.iteration % max(steps_per_epoch, 1)
         t_iter = time.perf_counter()
         while self.iteration < target:
-            for batch in prefetch_iterator(train_loader.epoch(epoch)):
+            for batch in prefetch_iterator(
+                    train_loader.epoch(epoch, start_step)):
                 if self.iteration >= target:
                     break
                 self.iteration += 1
@@ -325,6 +329,7 @@ class Trainer:
                     target = self.iteration  # ends the outer loop too
                     break
             epoch += 1
+            start_step = 0
 
         if self._profiling:  # training ended inside the profile window
             self._stop_profile(out_dir)

@@ -263,6 +263,37 @@ def test_trainer_end_to_end(corpus):
     assert trainer2.iteration == 3
 
 
+def test_mid_epoch_resume_skips_consumed_steps(corpus):
+    """epoch(e, start_step=k) yields exactly the batches after the
+    k-th planned step -- a resumed run continues the interrupted
+    epoch instead of replaying it."""
+    from daft_exprt_tpu.data.loader import FeatureDataset, TrainLoader
+    from daft_exprt_tpu.data.stats import extract_features_stats
+
+    root, hp, dataset_dir, features_dir = corpus
+    if not os.path.isfile(hp.training_files):  # run after pipeline test
+        for spk in hp.speakers:
+            extract_markers(os.path.join(dataset_dir, spk, "align"),
+                            n_jobs=2)
+        extract_features(dataset_dir, features_dir, hp, n_jobs=2)
+        create_sets(features_dir, hp, proportion_validation=0.1)
+    if not hp.stats:
+        hp.stats = extract_features_stats(hp, n_jobs=2)
+
+    hp.batch_size = 2
+    hp.accumulation_steps = 1
+    loader = TrainLoader(FeatureDataset(hp.training_files, hp), hp)
+    n_steps = loader.batches_per_epoch()
+    assert n_steps >= 2
+    full = list(loader.epoch(3))
+    resumed = list(loader.epoch(3, start_step=1))
+    assert len(resumed) == len(full) - 1
+    for a, b in zip(full[1:], resumed):
+        assert a.keys() == b.keys()
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+
+
 def test_preemption_sigterm_checkpoints_and_exits(corpus):
     """SIGTERM mid-training (the Cloud TPU preemption notice) makes the
     loop exit at the next step boundary with a DaftExprt_last
