@@ -211,6 +211,12 @@ class InferenceEngine:
         if mesh is not None:
             from daft_exprt_tpu.parallel.mesh import replicated
             params = jax.device_put(params, replicated(mesh))
+        else:
+            # pin the weights on device ONCE: checkpoints load as numpy
+            # pytrees, and a numpy params argument re-uploads every
+            # weight on every dispatch (hundreds of ms per request on a
+            # remote-attached chip; a silent PCIe tax even colocated)
+            params = jax.device_put(params)
         self.params = params
         self._compiled = {}
         from daft_exprt_tpu import aot
@@ -318,6 +324,60 @@ class InferenceEngine:
                 f"decode-{max_frames}")
         return self._compiled[key]
 
+    def _fn_fused(self, pitch_transform: str, max_frames: int,
+                  with_films: bool, packed: bool = False):
+        """One graph: prosody (+given FiLM) -> upsample -> decode at a
+        static ``max_frames`` bucket.
+
+        Under the default "speculate" bucket policy the decode bucket
+        is chosen host-side from the inputs alone, so prosody and
+        decode need not be separate dispatches -- on high-RTT links
+        (remote-attached chips) every dispatch costs a round trip.
+        ``packed=True`` additionally concatenates (mel, out_lens,
+        overflow) into ONE (B, n_mels*T + 2) array so the host fetch is
+        a single transfer instead of one per output leaf.
+        """
+        key = ("fused", pitch_transform, max_frames, with_films, packed)
+        if key not in self._compiled:
+            def run(params, *args):
+                if with_films:
+                    slim, films = args
+                    staged = self.model.inference_prosody(
+                        params, slim, pitch_transform, self.pitch_means,
+                        self.pitch_stds, films=films)
+                else:
+                    staged = self.model.inference_prosody(
+                        params, args[0], pitch_transform,
+                        self.pitch_means, self.pitch_stds)
+                enc_outputs, decoder_film, encoder_preds = staged
+                dec, weights = self.model.inference_decode(
+                    params, enc_outputs, decoder_film, encoder_preds,
+                    max_frames=max_frames)
+                if packed:
+                    mel, out_lens, overflow = dec
+                    B = mel.shape[0]
+                    return jnp.concatenate(
+                        [mel.reshape(B, -1),
+                         out_lens.reshape(B, 1).astype(jnp.float32),
+                         overflow.reshape(B, 1).astype(jnp.float32)],
+                        axis=1)
+                return encoder_preds, dec, weights
+
+            self._compiled[key] = self._jit(
+                run, f"fused-{pitch_transform}-{max_frames}"
+                     f"-{int(with_films)}-{int(packed)}")
+        return self._compiled[key]
+
+    def _unpack_dec(self, flat, max_frames: int):
+        """Host split of a packed fused-graph result."""
+        flat = np.asarray(jax.device_get(flat))
+        B = flat.shape[0]
+        n = self.hp.n_mel_channels * max_frames
+        mel = flat[:, :n].reshape(B, self.hp.n_mel_channels, max_frames)
+        out_lens = flat[:, n].astype(np.int32)
+        overflow = flat[:, n + 1] > 0.5
+        return mel, out_lens, overflow
+
     def _fn(self, pitch_transform: str):
         if pitch_transform not in self._compiled:
             def run(params, inputs):
@@ -388,7 +448,7 @@ class InferenceEngine:
         return tuple(inputs[:5]) + dummy + (inputs[9],)
 
     def run_cached(self, inputs, pitch_transform: str, film_keys,
-                   want_weights: bool = True):
+                   want_weights: bool = True, packed: bool = False):
         """Like :meth:`run`, reusing FiLM params across calls.
 
         :param film_keys: per-row hashables identifying (reference,
@@ -396,14 +456,44 @@ class InferenceEngine:
             encoder entirely. Single-device path only.
         :param want_weights: False skips fetching the (B, L, T)
             alignment matrix (returned as None).
+        :param packed: fetch (mel, out_lens, overflow) as one packed
+            transfer and return (None, that triple, None) -- the
+            minimum-round-trip serving path ("speculate" policy only;
+            implies no weights/encoder_preds).
         """
         films = self._resolve_films(inputs, film_keys)
         slim = self._slim_inputs(inputs)
-        enc_outputs, decoder_film, encoder_preds = self._fn_prosody(
-            pitch_transform, with_films=True)(self.params, slim, films)
-        return self._decode_bucketed(inputs, enc_outputs, decoder_film,
-                                     encoder_preds,
-                                     want_weights=want_weights)
+        if self.bucket_policy == "measure":
+            # bucket choice reads predicted durations off-device, so
+            # prosody must be its own dispatch
+            enc_outputs, decoder_film, encoder_preds = self._fn_prosody(
+                pitch_transform, with_films=True)(self.params, slim,
+                                                  films)
+            return self._decode_bucketed(inputs, enc_outputs,
+                                         decoder_film, encoder_preds,
+                                         want_weights=want_weights)
+        T = self._pick_out_bucket(inputs)
+        if packed:
+            flat = self._fn_fused(pitch_transform, T, True, True)(
+                self.params, slim, films)
+            dec = self._unpack_dec(flat, T)
+            if T < self.max_out_frames and bool(np.any(dec[2])):
+                flat = self._fn_fused(pitch_transform,
+                                      self.max_out_frames, True, True)(
+                    self.params, slim, films)
+                dec = self._unpack_dec(flat, self.max_out_frames)
+            return None, dec, None
+        encoder_preds, dec, weights = self._fn_fused(
+            pitch_transform, T, True)(self.params, slim, films)
+        out = jax.device_get((encoder_preds, dec,
+                              weights if want_weights else None))
+        if T < self.max_out_frames and bool(np.any(out[1][2])):
+            encoder_preds, dec, weights = self._fn_fused(
+                pitch_transform, self.max_out_frames, True)(
+                self.params, slim, films)
+            out = jax.device_get((encoder_preds, dec,
+                                  weights if want_weights else None))
+        return out
 
     # ------------------------------------------------------------------
     # Fused acoustic + vocoder serving (single dispatch to audio)
@@ -456,7 +546,13 @@ class InferenceEngine:
                                 jnp.log(jnp.float32(1e-5)))
                 audio = gen.apply_blocked(plan, varrays, mel, dtype=vdt,
                                           mrf=mrf_mode)
-                return audio, out_lens, overflow
+                # pack into one array: the host fetch is a single
+                # transfer (one round trip) instead of three
+                B = audio.shape[0]
+                return jnp.concatenate(
+                    [audio.astype(jnp.float32),
+                     out_lens.reshape(B, 1).astype(jnp.float32),
+                     overflow.reshape(B, 1).astype(jnp.float32)], axis=1)
 
             self._compiled[key] = self._jit(
                 run, f"audio-{pitch_transform}-{max_frames}")
@@ -478,13 +574,19 @@ class InferenceEngine:
         fn = self._fn_fused_audio(pitch_transform,
                                   self._pick_out_bucket(inputs))
         _, _, varrays, _, _ = self._voc
-        audio, out_lens, overflow = jax.device_get(
+
+        def unpack(flat):
+            flat = np.asarray(jax.device_get(flat))
+            return (flat[:, :-2], flat[:, -2].astype(np.int32),
+                    flat[:, -1] > 0.5)
+
+        audio, out_lens, overflow = unpack(
             fn(self.params, varrays, slim, films))
         if bool(np.any(overflow)) and audio.shape[1] \
                 < self.max_out_frames * self.samples_per_frame:
             # speculation too small: one re-run at the full budget
             fn = self._fn_fused_audio(pitch_transform, self.max_out_frames)
-            audio, out_lens, overflow = jax.device_get(
+            audio, out_lens, overflow = unpack(
                 fn(self.params, varrays, slim, films))
         spf = self.samples_per_frame
         wavs = [audio[b, :int(out_lens[b]) * spf]
@@ -533,8 +635,10 @@ class InferenceEngine:
                             self.run_cached_to_audio(inputs, pt,
                                                      [key] * B)
                         else:
+                            # packed: what the serving endpoint calls
                             self.run_cached(inputs, pt, [key] * B,
-                                            want_weights=False)
+                                            want_weights=False,
+                                            packed=True)
         finally:
             self.out_frame_buckets = saved
             self._film_cache.pop(key, None)
@@ -592,13 +696,28 @@ class InferenceEngine:
             out = jax.device_get(
                 (enc, dec, weights if want_weights else None))
             return jax.tree.map(lambda x: x[:B], out)
-        # single-device: two-stage dispatch so the decoder runs at an
-        # output bucket sized from the predicted durations
-        enc_outputs, decoder_film, encoder_preds = self._fn_prosody(
-            pitch_transform, with_films=False)(self.params, inputs)
-        return self._decode_bucketed(inputs, enc_outputs, decoder_film,
-                                     encoder_preds,
-                                     want_weights=want_weights)
+        if self.bucket_policy == "measure":
+            # two-stage dispatch: the decode bucket is read from the
+            # predicted durations, which needs a host sync in between
+            enc_outputs, decoder_film, encoder_preds = self._fn_prosody(
+                pitch_transform, with_films=False)(self.params, inputs)
+            return self._decode_bucketed(inputs, enc_outputs,
+                                         decoder_film, encoder_preds,
+                                         want_weights=want_weights)
+        # speculate policy: the bucket comes from host-side duration
+        # stats, so prosody + decode fuse into ONE dispatch
+        T = self._pick_out_bucket(inputs)
+        encoder_preds, dec, weights = self._fn_fused(
+            pitch_transform, T, False)(self.params, inputs)
+        out = jax.device_get((encoder_preds, dec,
+                              weights if want_weights else None))
+        if T < self.max_out_frames and bool(np.any(out[1][2])):
+            encoder_preds, dec, weights = self._fn_fused(
+                pitch_transform, self.max_out_frames, False)(
+                self.params, inputs)
+            out = jax.device_get((encoder_preds, dec,
+                                  weights if want_weights else None))
+        return out
 
 
 # ----------------------------------------------------------------------

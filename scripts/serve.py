@@ -293,7 +293,8 @@ class SynthesisService:
 
         with self.lock:
             _, decoder_preds, _ = self.engine.run_cached(
-                inputs, pitch_transform, film_keys, want_weights=False)
+                inputs, pitch_transform, film_keys, want_weights=False,
+                packed=True)
         mel_preds, out_lens, overflow = decoder_preds
         from daft_exprt_tpu.audio.griffin_lim import \
             griffin_lim_reconstruction_from_mel_spec

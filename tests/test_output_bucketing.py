@@ -82,9 +82,9 @@ def test_bucketed_decode_matches_full_budget():
     assert bucketed._pick_out_bucket(inputs) == 128
     assert not np.any(got[1][2])
     _assert_same_outputs(got, want)
-    # the bucketed engine compiled a SMALLER decode than the budget
-    assert ("decode", 128) in bucketed._compiled
-    assert ("decode", 256) not in bucketed._compiled
+    # the bucketed engine compiled a SMALLER fused graph than the budget
+    assert ("fused", "add", 128, False, False) in bucketed._compiled
+    assert ("fused", "add", 256, False, False) not in bucketed._compiled
 
 
 def test_underestimate_triggers_full_budget_rerun():
@@ -98,7 +98,7 @@ def test_underestimate_triggers_full_budget_rerun():
     assert not np.any(got[1][2])
     assert np.max(got[1][1]) > 128  # really needed the bigger budget
     _assert_same_outputs(got, want)
-    assert ("decode", 256) in bucketed._compiled
+    assert ("fused", "add", 256, False, False) in bucketed._compiled
 
 
 def test_measure_policy_picks_exact_bucket():
@@ -127,8 +127,8 @@ def test_warmup_compiles_every_bucket():
     hp, bucketed, _ = _engines(fixed_dur=0.1)
     bucketed.warmup(("add",))
     for T in bucketed.out_frame_buckets:
-        assert ("decode", T) in bucketed._compiled, T
-    assert ("prosody", "add", True) in bucketed._compiled
+        # warmup drives the packed fused serving graph per bucket
+        assert ("fused", "add", T, True, True) in bucketed._compiled, T
     assert ("__warmup__", 0) not in bucketed._film_cache
     # buckets restored after warmup
     assert bucketed.out_frame_buckets == [64, 128, 192, 256]

@@ -231,7 +231,11 @@ def test_dynamic_batcher_collates_concurrent_requests(tmp_path):
     for wav, frames, _, truncated in results:
         assert truncated is False
         assert frames == ref_frames
-        np.testing.assert_allclose(wav, ref_wav, atol=1e-5)
+        # mel parity across batch shapes is ~1e-6 (XLA per-shape
+        # fusion noise); 30 Griffin-Lim phase-recovery iterations
+        # amplify that to ~1e-3 on the waveform. Routing bugs (swapped
+        # or corrupted rows) would show up as O(1) differences.
+        np.testing.assert_allclose(wav, ref_wav, atol=5e-3)
 
     # errors propagate per request, healthy requests unaffected
     with ThreadPoolExecutor(2) as ex:

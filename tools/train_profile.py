@@ -82,12 +82,20 @@ def main():
     jax.profiler.stop_trace()
     time.sleep(1)
 
+    # Per-step device total from the module envelopes (accurate); the
+    # per-op listing double-counts nested control-flow regions (the
+    # grad-accumulation lax.scan shows up as a `while` row PLUS one row
+    # per trip PLUS the ops inside), so percentages there are relative
+    # guidance, not a partition of the total.
+    mod, _ = aggregate_device_trace(trace_dir, level="modules")
+    step_total = sum(v for k, v in mod.items() if k.startswith("jit"))
+    print(f"\ndevice time: {step_total/3:.2f} ms/step "
+          f"(module envelope over 3 steps)")
     agg, total = aggregate_device_trace(trace_dir)
-    print(f"\ndevice time over 3 steps: {total:.2f} ms "
-          f"({total/3:.2f} ms/step)")
+    print("hottest regions (nested rows overlap; see note in source):")
     for name, ms in agg.most_common(25):
-        print(f"  {ms/3:8.3f} ms/step  {100*ms/max(total,1e-9):5.1f}%  "
-              f"{name[:90]}")
+        print(f"  {ms/3:8.3f} ms/step  "
+              f"{100*ms/max(step_total,1e-9):5.1f}% of step  {name[:90]}")
 
 
 if __name__ == "__main__":
