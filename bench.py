@@ -42,10 +42,17 @@ NORTH_STAR_RTF = 50.0
 _AOT = AotCache(os.environ.get("DAFT_AOT_CACHE")
                 or "/tmp/daft_exprt_aot_cache")
 
+# fast-keying salt contract (aot.py): this file's jitted closures bake
+# constants (pitch stats, model config) -- salt with our own source so
+# editing bench.py invalidates its cached executables
+with open(__file__, "rb") as _f:
+    import hashlib as _hashlib
+    _SALT = _hashlib.sha256(_f.read()).hexdigest()
+
 
 def _jit(fn, label: str):
     """AOT-cached jax.jit for the bench's non-donating graphs."""
-    return _AOT.wrap(fn, label)
+    return _AOT.wrap(fn, label, salt=_SALT)
 
 
 def _p50_utterance_latency_ms(model, hp, params):

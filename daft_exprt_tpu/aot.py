@@ -14,12 +14,20 @@ The reference has no analog — eager PyTorch pays no compile, but gets
 none of the whole-graph fusion this framework's speed comes from
 (reference inference is eager CUDA, ``scripts/synthesize.py:33-84``).
 
-Keying: SHA-256 over (jax/jaxlib version, backend platform + device
-kind + device count, a caller label, and the lowered StableHLO text of
-the exact graph). Any change to the model code, weights baked in as
-jit constants, shapes, or software stack therefore misses cleanly and
-falls back to a normal compile; deserialization failures likewise fall
-back rather than raise.
+Keying (default ``"fast"``): SHA-256 over (jax/jaxlib version, backend
+platform + device kind + device count, a caller label, a caller
+``salt``, a content hash of this package's sources, and the argument
+treedef/shape/dtype signature). The cache key is computed WITHOUT
+tracing or lowering the function -- on large models ``lower()`` alone
+costs seconds per graph, which defeats fast cold-start. The price is a
+contract: callers whose functions close over *data* baked into the
+graph as constants (weights, stat tables, config-derived arrays) MUST
+fold that data into ``salt``, or a stale executable can be served
+after the data changes. Code changes are covered by the package
+content hash. ``keying="hlo"`` keeps the old conservative mode: hash
+the lowered StableHLO text of the exact graph (self-contained, no salt
+contract, but pays a full trace+lower per graph per process).
+Deserialization failures always fall back to a fresh compile.
 
 Security note: cache files are pickles (executable payload + pytree
 defs). Only point ``DAFT_AOT_CACHE`` at a directory you trust —
@@ -67,22 +75,47 @@ def _arg_signature(args):
     return (treedef, shapes)
 
 
+_CODE_FP = None
+
+
+def code_fingerprint() -> str:
+    """Content hash of this package's sources (py/cc/so), part of the
+    fast cache key: any code change invalidates every cached
+    executable. ~1 ms for the whole package, computed once."""
+    global _CODE_FP
+    if _CODE_FP is None:
+        h = hashlib.sha256()
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        for root, dirs, files in os.walk(pkg_dir):
+            dirs[:] = sorted(d for d in dirs if d != "__pycache__")
+            for name in sorted(files):
+                if name.endswith((".py", ".cc", ".so")):
+                    path = os.path.join(root, name)
+                    h.update(os.path.relpath(path, pkg_dir).encode())
+                    with open(path, "rb") as f:
+                        h.update(f.read())
+        _CODE_FP = h.hexdigest()
+    return _CODE_FP
+
+
 class _AotJit:
     """``jax.jit``-like callable whose per-shape executables are
     persisted via :class:`AotCache`. Non-donating, non-static-arg
     functions only (all inference-engine graphs qualify)."""
 
-    def __init__(self, fn, cache: "AotCache", label: str):
+    def __init__(self, fn, cache: "AotCache", label: str, salt: str = ""):
         self._jit = jax.jit(fn)
         self._cache = cache
         self._label = label
+        self._salt = salt
         self._by_sig = {}
 
     def __call__(self, *args):
         sig = _arg_signature(args)
         exe = self._by_sig.get(sig)
         if exe is None:
-            exe = self._cache._load_or_compile(self._jit, args, self._label)
+            exe = self._cache._load_or_compile(self._jit, args,
+                                               self._label, self._salt)
             self._by_sig[sig] = exe
         return exe(*args)
 
@@ -99,34 +132,48 @@ class AotCache:
     deserialized from disk when present, else compiled and saved.
     """
 
-    def __init__(self, cache_dir: str):
+    def __init__(self, cache_dir: str, keying: str = "fast"):
+        assert keying in ("fast", "hlo"), keying
         self.dir = cache_dir
+        self.keying = keying
         os.makedirs(cache_dir, exist_ok=True)
         self.stats = {"loads": 0, "compiles": 0, "load_errors": 0,
                       "save_errors": 0}
         self._fingerprint = None
 
-    def wrap(self, fn, label: str) -> _AotJit:
-        return _AotJit(fn, self, label)
+    def wrap(self, fn, label: str, salt: str = "") -> _AotJit:
+        """:param salt: REQUIRED (fast keying) whenever ``fn`` closes
+        over data that gets baked into the graph as constants --
+        fold a hash of that data in, or a stale executable can be
+        served after the data changes (see module docstring)."""
+        return _AotJit(fn, self, label, salt)
 
     # ------------------------------------------------------------------
-    def _path(self, jitted, args, label: str) -> tuple[str, "jax.stages.Lowered"]:
+    def _path(self, jitted, args, label: str, salt: str):
+        """-> (blob path, lowered | None). Fast keying never lowers."""
         if self._fingerprint is None:
             self._fingerprint = backend_fingerprint()
-        lowered = jitted.lower(*args)
         h = hashlib.sha256()
         h.update(self._fingerprint.encode())
-        h.update(b"\0" + label.encode() + b"\0")
-        h.update(lowered.as_text().encode())
+        h.update(b"\0" + label.encode() + b"\0" + salt.encode() + b"\0")
+        lowered = None
+        if self.keying == "fast":
+            treedef, shapes = _arg_signature(args)
+            h.update(code_fingerprint().encode())
+            h.update(repr(treedef).encode())
+            h.update(repr(shapes).encode())
+        else:
+            lowered = jitted.lower(*args)
+            h.update(lowered.as_text().encode())
         safe = "".join(c if c.isalnum() or c in "-_" else "_"
                        for c in label)[:48]
         return (os.path.join(self.dir, f"{safe}-{h.hexdigest()[:20]}.aotx"),
                 lowered)
 
-    def _load_or_compile(self, jitted, args, label: str):
+    def _load_or_compile(self, jitted, args, label: str, salt: str = ""):
         from jax.experimental import serialize_executable
 
-        path, lowered = self._path(jitted, args, label)
+        path, lowered = self._path(jitted, args, label, salt)
         if os.path.exists(path):
             try:
                 with open(path, "rb") as f:
@@ -145,6 +192,8 @@ class AotCache:
                 self.stats["load_errors"] += 1
                 _logger.warning("AOT cache load failed for %s (%s); "
                                 "recompiling", path, e)
+        if lowered is None:
+            lowered = jitted.lower(*args)
         compiled = lowered.compile()
         self.stats["compiles"] += 1
         try:

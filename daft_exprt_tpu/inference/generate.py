@@ -227,6 +227,21 @@ class InferenceEngine:
         self._aot = aot_cache if mesh is None else None
         assert bucket_policy in ("speculate", "measure"), bucket_policy
         self.bucket_policy = bucket_policy
+        # Fast AOT keying contract (aot.py): everything the engine's
+        # closures bake into graphs as CONSTANTS must be in the salt --
+        # the pitch/duration stat tables and the config. Shapes/params
+        # are arguments and need no salting.
+        import hashlib as _hashlib
+        import json as _json
+        h = _hashlib.sha256()
+        for arr in (self.pitch_means, self.pitch_stds,
+                    self._dur_mean, self._dur_std):
+            h.update(np.ascontiguousarray(np.asarray(arr)).tobytes())
+        h.update(_json.dumps(hparams.as_dict(), sort_keys=True,
+                             default=str).encode())
+        h.update(repr((self.max_out_frames, self.out_frame_buckets,
+                       bucket_policy)).encode())
+        self._aot_salt = h.hexdigest()
         self._voc = None  # set by attach_vocoder
         self.samples_per_frame = None
         # FiLM cache: (ref identity, speaker_id) -> per-row
@@ -295,7 +310,7 @@ class InferenceEngine:
     def _jit(self, fn, label: str):
         """jax.jit, or its AOT-cache-backed equivalent when enabled."""
         if self._aot is not None:
-            return self._aot.wrap(fn, label)
+            return self._aot.wrap(fn, label, salt=self._aot_salt)
         return jax.jit(fn)
 
     def _fn_prosody(self, pitch_transform: str, with_films: bool):
@@ -523,6 +538,14 @@ class InferenceEngine:
         self.max_out_frames = self.out_frame_buckets[-1]
         self.samples_per_frame = up
         self._voc = (gen, plan, jax.device_put(arrays), mrf_mode, dtype)
+        # vocoder layout/config is baked into the fused-audio graphs
+        # as constants: extend the AOT salt (weights stay arguments)
+        import hashlib as _hashlib
+        h = _hashlib.sha256(self._aot_salt.encode())
+        h.update(repr((sorted(gen.cfg.items()), sorted(plan.items(),
+                       key=lambda kv: kv[0]), mrf_mode,
+                       str(dtype))).encode())
+        self._aot_salt = h.hexdigest()
 
     def _fn_fused_audio(self, pitch_transform: str, max_frames: int):
         key = ("audio", pitch_transform, max_frames)

@@ -100,6 +100,35 @@ def test_engine_cold_start_loads_every_graph(tmp_path):
                                rtol=1e-6, atol=1e-6)
 
 
+def test_salt_and_code_fingerprint_invalidate(tmp_path):
+    """Fast keying: a different salt misses (fresh compile); the same
+    salt hits; hlo keying still works and ignores salt content by
+    hashing the lowered graph instead."""
+    x = np.ones((4, 8), np.float32)
+    y = np.full((8, 2), 0.5, np.float32)
+
+    c1 = aot.AotCache(str(tmp_path))
+    c1.wrap(_fn, "mm", salt="stats-v1")(x, y)
+    assert c1.stats["compiles"] == 1
+
+    c2 = aot.AotCache(str(tmp_path))
+    c2.wrap(_fn, "mm", salt="stats-v2")(x, y)  # data changed -> miss
+    assert c2.stats["compiles"] == 1 and c2.stats["loads"] == 0
+
+    c3 = aot.AotCache(str(tmp_path))
+    c3.wrap(_fn, "mm", salt="stats-v1")(x, y)  # same data -> hit
+    assert c3.stats["loads"] == 1 and c3.stats["compiles"] == 0
+
+    assert len(aot.code_fingerprint()) == 64
+
+    c4 = aot.AotCache(str(tmp_path), keying="hlo")
+    c4.wrap(_fn, "mm")(x, y)
+    assert c4.stats["compiles"] == 1
+    c5 = aot.AotCache(str(tmp_path), keying="hlo")
+    c5.wrap(_fn, "mm")(x, y)
+    assert c5.stats["loads"] == 1 and c5.stats["compiles"] == 0
+
+
 def test_env_var_default(tmp_path, monkeypatch):
     monkeypatch.setenv(aot.ENV_VAR, str(tmp_path))
     assert aot.default_cache_dir() == str(tmp_path)
