@@ -140,7 +140,8 @@ class SynthesisService:
     def __init__(self, checkpoint: str, style_bank: str,
                  vocoder: str = "", vocoder_config: str | None = None,
                  default_speaker: int = 0, batch_window_ms: float = 0.0,
-                 max_batch: int = 8, aot_cache: str | None = None):
+                 max_batch: int = 8, aot_cache: str | None = None,
+                 warmup_symbol_buckets: int = 2):
         from synthesize import load_any_checkpoint
 
         from daft_exprt_tpu.inference.generate import (
@@ -187,6 +188,7 @@ class SynthesisService:
         # serving metrics for /stats (guarded by its own lock; the
         # deque keeps a rolling latency window)
         from collections import Counter, deque
+        self.warmup_symbol_buckets = max(int(warmup_symbol_buckets), 1)
         self._warming = False
         self._metrics_lock = threading.Lock()
         self._metrics = {"requests": 0, "truncated": 0,
@@ -360,10 +362,12 @@ class SynthesisService:
     def warmup(self, pitch_transforms=("add",)):
         """Compile the serving executables before accepting traffic.
 
-        Covers EVERY output bucket and — with dynamic batching on —
-        every power-of-two batch occupancy the batcher can produce
-        (engine.warmup), plus the phonemizer/collation path once;
-        pre-phonemized so it works without the MFA dictionary.
+        Covers EVERY output bucket, the first ``warmup_symbol_buckets``
+        input-length buckets (a sentence longer than one symbol bucket
+        pads to the next multiple — a new shape), and — with dynamic
+        batching on — every power-of-two batch occupancy the batcher
+        can produce (engine.warmup), plus the phonemizer/collation path
+        once; pre-phonemized so it works without the MFA dictionary.
         Requests whose executable was not warmed would otherwise
         compile inside the serving lock. Warmup traffic is excluded
         from /stats.
@@ -375,8 +379,11 @@ class SynthesisService:
                 batch_sizes.append(batch_sizes[-1] * 2)
         self._warming = True
         try:
-            self.engine.warmup(pitch_transforms,
-                               batch_sizes=tuple(batch_sizes))
+            for mult in range(1, self.warmup_symbol_buckets + 1):
+                self.engine.warmup(
+                    pitch_transforms,
+                    n_symbols=mult * self.hp.symbol_bucket,
+                    batch_sizes=tuple(batch_sizes))
             self.synthesize("{DH IH1 S} {IH1 Z} {AH0} "
                             "{W AO1 R M AH0 P} {S EH1 N T AH0 N S}.")
         finally:
@@ -494,6 +501,10 @@ def main():
     parser.add_argument("--max_batch", type=int, default=8)
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=8080)
+    parser.add_argument("--warmup_symbol_buckets", type=int, default=2,
+                        help="input-length buckets to pre-compile "
+                             "(sentences longer than symbol_bucket pad "
+                             "to the next multiple = a new executable)")
     parser.add_argument("--aot_cache", default=None,
                         help="directory of serialized executables: a "
                              "restarted server loads its compiled "
@@ -509,7 +520,8 @@ def main():
         vocoder_config=args.vocoder_config,
         default_speaker=args.default_speaker,
         batch_window_ms=args.batch_window_ms, max_batch=args.max_batch,
-        aot_cache=args.aot_cache)
+        aot_cache=args.aot_cache,
+        warmup_symbol_buckets=args.warmup_symbol_buckets)
     serve(service, args.host, args.port).serve_forever()
 
 

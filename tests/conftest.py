@@ -20,12 +20,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compile cache: repeat test runs (fresh processes included)
-# skip recompiles, keeping `pytest -m fast` well under two minutes.
-os.makedirs("/tmp/daft_exprt_jax_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/daft_exprt_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+# NOTE: do NOT enable the persistent XLA compile cache for CPU tests.
+# XLA:CPU AOT cache entries embed compile-time machine-feature
+# pseudo-flags (+prefer-no-scatter/+prefer-no-gather) that mismatch the
+# host feature probe on reload; poisoned entries then surface as
+# "Buffer Definition Event: Function copy_gather_fusion not found"
+# crashes and hung workers (observed 2026-08-17 on this rig). The fast
+# tier stays ~1 min cold without it.
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
