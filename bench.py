@@ -288,6 +288,50 @@ def _vocoder_rtf():
     return wav.size * iters / 22050 / wall
 
 
+def _streaming_ttfa_ms():
+    """Time-to-first-audio of the streaming vocoder vs vocoding the
+    whole utterance in one dispatch, on a ~20 s utterance (1723 mel
+    frames). Both paths use the blocked layout; the streaming window
+    executable rides the AOT cache like every other bench graph."""
+    import jax.numpy as jnp
+
+    from daft_exprt_tpu.vocoder.hifigan import HiFiGanGenerator
+    from daft_exprt_tpu.vocoder.streaming import StreamingVocoder
+
+    gen = HiFiGanGenerator()
+    params = gen.init_params(jax.random.PRNGKey(0))
+    sv = StreamingVocoder(gen, params)
+    sv._fn = _AOT.wrap(sv._fn, "bench_stream_window", salt=_SALT)
+    T = 1723
+    mel = np.random.default_rng(1).standard_normal((80, T)).astype(
+        np.float32)
+
+    # full-utterance single dispatch at the padded length: the same
+    # wrapped fn, a second arg signature -> its own cached executable
+    full = sv._fn
+    t_pad = -(-T // 128) * 128
+    mel_pad = np.full((1, 80, t_pad), np.log(1e-5), np.float32)
+    mel_pad[0, :, :T] = mel
+    mel_pad = jnp.asarray(mel_pad)
+    jax.block_until_ready(full(sv._weights, mel_pad))  # warm
+    for chunk in sv.stream(mel, T):  # warm the window executable
+        pass
+
+    ttfa, batch_ms = [], []
+    for _ in range(8):
+        t0 = time.perf_counter()
+        it = sv.stream(mel, T)
+        next(it)
+        ttfa.append(time.perf_counter() - t0)
+        for chunk in it:
+            pass
+        t0 = time.perf_counter()
+        jax.block_until_ready(full(sv._weights, mel_pad))
+        batch_ms.append(time.perf_counter() - t0)
+    return (float(np.median(ttfa)) * 1e3,
+            float(np.median(batch_ms)) * 1e3)
+
+
 def _analytic_inference_flops(hp, B, L, T_ref, T_out) -> float:
     """Matmul/attention FLOPs of one batched inference call (2*M*N*K
     per matmul; elementwise ops ignored -- they are bandwidth, not
@@ -445,6 +489,7 @@ def main():
         _p50_short_utterance_ms(model, hp, params)
     steps_per_sec, train_mfu = _train_steps_per_sec(hp)
     rtf_vocoder = _vocoder_rtf()
+    ttfa_ms, full_voc_ms = _streaming_ttfa_ms()
 
     print(json.dumps({
         "metric": "batched_mel_synthesis_rtf",
@@ -456,6 +501,8 @@ def main():
             "rtf_batch50_reference_instrument": round(rtf_batch50, 2),
             "rtf_cached_style_bank": round(rtf_cached, 2),
             "rtf_vocoder_hifigan": round(rtf_vocoder, 2),
+            "ttfa_stream_20s_ms": round(ttfa_ms, 3),
+            "vocode_full_20s_ms": round(full_voc_ms, 3),
             "mfu_batched_inference": mfu,
             "flops_per_batched_call": flops_per_call,
             "p50_utterance_latency_ms": round(p50_ms, 3),

@@ -171,14 +171,19 @@ class SynthesisService:
             raise FileNotFoundError(f"no style references in {style_bank}")
 
         self.vocoder = None
+        self.streamer = None
         if vocoder:
             from daft_exprt_tpu.vocoder.hifigan import load_generator
+            from daft_exprt_tpu.vocoder.streaming import StreamingVocoder
             self.vocoder = load_generator(vocoder, vocoder_config)
             # fused serving: acoustic model + HiFi-GAN compile into ONE
             # graph per output bucket -- a request is a single dispatch
             # returning audio (no mel D2H/H2D round trip)
             gen, vparams = self.vocoder
             self.engine.attach_vocoder(gen, vparams)
+            # chunked vocoding for the /stream route: first audio after
+            # one window instead of after the whole utterance
+            self.streamer = StreamingVocoder(gen, vparams)
 
         # dynamic micro-batching: collate concurrent requests into one
         # dispatch (off by default; single-request latency first)
@@ -192,8 +197,10 @@ class SynthesisService:
         self._warming = False
         self._metrics_lock = threading.Lock()
         self._metrics = {"requests": 0, "truncated": 0,
+                         "stream_requests": 0,
                          "batch_sizes": Counter(),
-                         "latencies": deque(maxlen=512)}
+                         "latencies": deque(maxlen=512),
+                         "ttfa": deque(maxlen=512)}
 
     # ------------------------------------------------------------------
     def prepare_job(self, text: str, speaker_id: int | None = None,
@@ -312,6 +319,78 @@ class SynthesisService:
         self.record_metrics(len(jobs), results)
         return results
 
+    def stream_job(self, job: dict):
+        """Synthesize one utterance as a lazily-vocoded chunk stream.
+
+        Runs the acoustic pass (one dispatch -> mel), then vocodes
+        fixed-size mel windows (`vocoder/streaming.py`), so the first
+        audio bytes leave the server after ONE window's vocoding
+        instead of after the whole utterance's. The concatenated
+        chunks equal the batch path's waveform (exact windowing; see
+        tests/test_streaming_vocoder.py).
+
+        :return: (chunk_iterator yielding float32 arrays, mel frames,
+            total samples, truncated)
+        """
+        import numpy as np
+
+        from daft_exprt_tpu.inference.generate import \
+            collate_inference_batch
+
+        if self.streamer is None:
+            raise ValueError("streaming requires --vocoder")
+
+        def fac(key):
+            return [job[key]] if job[key] is not None else None
+
+        inputs, _ = collate_inference_batch(
+            [job["sentence"]], fac("dur_factor"), fac("energy_factor"),
+            fac("pitch_factor"), job["pitch_transform"],
+            [self.styles[job["style"]]], [job["speaker_id"]], self.hp,
+            pad_batch_to=1)
+        with self.lock:
+            _, dec, _ = self.engine.run_cached(
+                inputs, job["pitch_transform"],
+                [(job["style"], job["speaker_id"])],
+                want_weights=False, packed=True)
+        mel, out_lens, overflow = dec
+        n_frames = int(out_lens[0])
+        truncated = bool(overflow[0])
+        if truncated:
+            self._warn_truncated()
+        mel_np = np.asarray(mel)[0]
+
+        def chunks():
+            # the lock is held per device dispatch, not across the
+            # client's read loop, so a slow consumer never stalls
+            # other requests
+            it = self.streamer.stream(mel_np, n_frames)
+            first = True
+            while True:
+                with self.lock:
+                    try:
+                        chunk = next(it)
+                    except StopIteration:
+                        return
+                if first:
+                    first = False
+                    self._record_stream(
+                        time.perf_counter() - job["t0"], truncated)
+                yield chunk
+
+        return chunks(), n_frames, n_frames * self.streamer.up, truncated
+
+    def _record_stream(self, ttfa_seconds: float, truncated: bool):
+        if self._warming:
+            return
+        with self._metrics_lock:
+            m = self._metrics
+            m["requests"] += 1
+            m["stream_requests"] += 1
+            m["ttfa"].append(ttfa_seconds)
+            if truncated:
+                m["truncated"] += 1
+
     def record_metrics(self, batch_size: int, results: list):
         if self._warming:  # compile-dominated, would skew /stats
             return
@@ -338,8 +417,12 @@ class SynthesisService:
                     float(np.median(lat)) * 1e3, 3) if lat else None,
                 "p95_latency_ms": round(float(
                     np.percentile(lat, 95)) * 1e3, 3) if lat else None,
+                "stream_requests": m["stream_requests"],
+                "p50_ttfa_ms": round(float(np.median(
+                    list(m["ttfa"]))) * 1e3, 3) if m["ttfa"] else None,
                 "styles": len(self.styles),
                 "dynamic_batching": self.batcher is not None,
+                "streaming": self.streamer is not None,
             }
 
     def _warn_truncated(self):
@@ -386,6 +469,14 @@ class SynthesisService:
                     batch_sizes=tuple(batch_sizes))
             self.synthesize("{DH IH1 S} {IH1 Z} {AH0} "
                             "{W AO1 R M AH0 P} {S EH1 N T AH0 N S}.")
+            if self.streamer is not None:
+                # compile the /stream route's packed acoustic graph
+                # and the one streaming window executable
+                job = self.prepare_job(
+                    "{DH IH1 S} {IH1 Z} {AH0} "
+                    "{W AO1 R M AH0 P} {S EH1 N T AH0 N S}.")
+                for _ in self.stream_job(job)[0]:
+                    pass
         finally:
             self._warming = False
         _logger.info(
@@ -399,6 +490,24 @@ def wav_bytes(wav, sampling_rate: int) -> bytes:
     buf = io.BytesIO()
     save_wav(buf, wav, sampling_rate)
     return buf.getvalue()
+
+
+def wav_stream_header(n_samples: int, sampling_rate: int) -> bytes:
+    """44-byte RIFF/WAVE header for 16-bit mono PCM of known length
+    (the /stream route knows the total up front: mel frames x hop)."""
+    import struct
+    data = n_samples * 2
+    return (b"RIFF" + struct.pack("<I", 36 + data) + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, sampling_rate,
+                          sampling_rate * 2, 2, 16)
+            + b"data" + struct.pack("<I", data))
+
+
+def pcm16_bytes(chunk) -> bytes:
+    """float32 [-1, 1] -> little-endian 16-bit PCM (same scaling as
+    audio.io.save_wav, so streamed bytes match the batch route's)."""
+    import numpy as np
+    return (np.clip(chunk, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
 
 
 def make_handler(service: "SynthesisService"):
@@ -431,20 +540,28 @@ def make_handler(service: "SynthesisService"):
             else:
                 self._json(404, {"error": f"no route {self.path}"})
 
+        def _read_request(self):
+            n = int(self.headers.get("Content-Length", 0))
+            req = json.loads(self.rfile.read(n) or b"{}")
+            if not isinstance(req, dict):
+                raise ValueError("request body must be a JSON object")
+            if not req.get("text"):
+                raise ValueError('missing "text"')
+            return req
+
         def do_POST(self):
-            if self.path != "/synthesize":
+            if self.path == "/synthesize":
+                self._do_synthesize()
+            elif self.path == "/stream":
+                self._do_stream()
+            else:
                 self._json(404, {"error": f"no route {self.path}"})
-                return
+
+        def _do_synthesize(self):
             try:
-                n = int(self.headers.get("Content-Length", 0))
-                req = json.loads(self.rfile.read(n) or b"{}")
-                if not isinstance(req, dict):
-                    raise ValueError("request body must be a JSON object")
-                text = req.get("text")
-                if not text:
-                    raise ValueError('missing "text"')
+                req = self._read_request()
                 wav, frames, seconds, truncated = service.synthesize(
-                    text, speaker_id=req.get("speaker_id"),
+                    req["text"], speaker_id=req.get("speaker_id"),
                     style=req.get("style"),
                     dur_factor=req.get("dur_factor"),
                     energy_factor=req.get("energy_factor"),
@@ -468,6 +585,43 @@ def make_handler(service: "SynthesisService"):
                              else "false")
             self.end_headers()
             self.wfile.write(body)
+
+        def _do_stream(self):
+            """Progressive WAV: the exact RIFF header (total length is
+            known from the mel frame count) followed by PCM chunks
+            flushed as each mel window is vocoded."""
+            try:
+                req = self._read_request()
+                job = service.prepare_job(
+                    req["text"], speaker_id=req.get("speaker_id"),
+                    style=req.get("style"),
+                    dur_factor=req.get("dur_factor"),
+                    energy_factor=req.get("energy_factor"),
+                    pitch_factor=req.get("pitch_factor"),
+                    pitch_transform=req.get("pitch_transform", "add"))
+                chunks, frames, samples, truncated = \
+                    service.stream_job(job)
+            except (ValueError, AssertionError, KeyError,
+                    json.JSONDecodeError) as e:
+                self._json(400, {"error": str(e)})
+                return
+            except Exception as e:  # noqa: BLE001 -- surface as 500
+                logging.exception("stream synthesis failed")
+                self._json(500, {"error": str(e)})
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Content-Length", str(44 + 2 * samples))
+            self.send_header("X-Mel-Frames", str(frames))
+            self.send_header("X-Truncated", "true" if truncated
+                             else "false")
+            self.end_headers()
+            self.wfile.write(wav_stream_header(
+                samples, service.hp.sampling_rate))
+            self.wfile.flush()
+            for chunk in chunks:
+                self.wfile.write(pcm16_bytes(chunk))
+                self.wfile.flush()
 
         def log_message(self, fmt, *args):
             _logger.info("%s -- %s", self.address_string(), fmt % args)

@@ -261,3 +261,91 @@ def test_synthesize_request_validation(server):
         "text": "{HH AH0}", "dur_factor": [1.0, 2.0, 3.0, 4.0, 5.0,
                                            6.0, 7.0]})
     assert resp.status == 400 and b"symbols" in data
+
+
+def test_stream_route(tmp_path):
+    """/stream: progressive WAV equals the fused batch route's audio."""
+    import serve as srv
+    import torch
+    from test_fused_vocoder import TINY_VOC_CFG
+    from test_vocoder import TorchGenerator
+
+    from tools.convert_checkpoint import save_converted_checkpoint
+
+    from daft_exprt_tpu.audio.io import save_wav
+    from daft_exprt_tpu.models.daft_exprt import DaftExprt
+
+    hp = tiny_hparams(speakers=["spk_a"])
+    hp.stats = {"spk 0": {
+        "pitch": {"mean": float(np.log(180.0)), "std": 0.25,
+                  "min": 4.0, "max": 6.0},
+        "energy": {"mean": 3.0, "std": 1.0, "min": 0.0, "max": 9.0}}}
+    model = DaftExprt(hp)
+    params = model.init_params(jax.random.PRNGKey(0))
+    ckpt_dir = str(tmp_path / "converted")
+    save_converted_checkpoint(ckpt_dir, params, dict(hp.as_dict()))
+
+    style_dir = str(tmp_path / "style_bank")
+    os.makedirs(style_dir)
+    t = np.arange(int(1.2 * hp.sampling_rate)) / hp.sampling_rate
+    phase = 2 * np.pi * np.cumsum(170 + 20 * np.sin(2 * np.pi * t)) \
+        / hp.sampling_rate
+    save_wav(os.path.join(style_dir, "calm.wav"),
+             (0.5 * np.sin(phase)).astype(np.float32), hp.sampling_rate)
+
+    torch.manual_seed(0)
+    tgen = TorchGenerator(TINY_VOC_CFG).eval()
+    voc_ckpt = str(tmp_path / "g_tiny.pt")
+    torch.save({"generator": tgen.state_dict()}, voc_ckpt)
+    voc_cfg = str(tmp_path / "voc.json")
+    with open(voc_cfg, "w") as f:
+        json.dump(TINY_VOC_CFG, f)
+
+    service = srv.SynthesisService(ckpt_dir, style_dir, vocoder=voc_ckpt,
+                                   vocoder_config=voc_cfg)
+    assert service.streamer is not None
+    text = "{HH AH0 L OW1} {W ER1 L D} {DH IH1 S} {IH1 Z} {AH0} " \
+           "{L AO1 NG G ER0} {S EH1 N T AH0 N S}"
+
+    # direct API: chunks concatenate to the fused route's waveform
+    ref_wav, ref_frames, _, _ = service.synthesize(text, speaker_id=0,
+                                                   style="calm")
+    chunks, frames, samples, truncated = service.stream_job(
+        service.prepare_job(text, speaker_id=0, style="calm"))
+    stream_wav = np.concatenate(list(chunks))
+    # the random-init tiny model may overflow the frame budget; both
+    # routes must then truncate identically
+    assert frames == ref_frames
+    assert stream_wav.shape == (samples,) == ref_wav.shape
+    # fused route and streamed route share weights and mel; tiny f32
+    # nets differ only by window-relative reassociation
+    np.testing.assert_allclose(stream_wav, ref_wav, atol=1e-3)
+
+    # HTTP: exact-length progressive WAV, parseable, metrics recorded
+    httpd = srv.serve(service, "127.0.0.1", 0)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    try:
+        port = httpd.server_address[1]
+        resp, data = _request(port, "POST", "/stream",
+                              {"text": text, "speaker_id": 0,
+                               "style": "calm"})
+        assert resp.status == 200
+        assert resp.getheader("Content-Type") == "audio/wav"
+        assert int(resp.getheader("Content-Length")) == len(data)
+        assert int(resp.getheader("X-Mel-Frames")) == ref_frames
+        with wave.open(io.BytesIO(data)) as w:
+            assert w.getnchannels() == 1 and w.getsampwidth() == 2
+            assert w.getframerate() == hp.sampling_rate
+            assert w.getnframes() == samples
+            pcm = np.frombuffer(w.readframes(samples), "<i2")
+        want = (np.clip(ref_wav, -1, 1) * 32767.0).astype(np.int16)
+        assert np.abs(pcm.astype(np.int32)
+                      - want.astype(np.int32)).max() <= 33  # 1e-3 in LSB
+
+        resp, data = _request(port, "GET", "/stats")
+        stats = json.loads(data)
+        assert stats["stream_requests"] >= 1
+        assert stats["p50_ttfa_ms"] is not None
+    finally:
+        httpd.shutdown()
