@@ -288,6 +288,64 @@ def _vocoder_rtf():
     return wav.size * iters / 22050 / wall
 
 
+def _preprocess_rtf():
+    """On-device preprocessing throughput: audio seconds per wall
+    second for the batched mel+energy kernel and the batched NCCF+
+    Viterbi F0 tracker (the two device stages of `data/features.py`).
+    The reference preprocesses on 6 CPU jobs in "several hours"
+    (/root/reference/README.md:146-149); this measures the TPU path's
+    equivalent rate on synthetic 6 s utterances."""
+    import jax.numpy as jnp
+
+    from daft_exprt_tpu.audio.pitch_jax import track_pitch_batch
+    from daft_exprt_tpu.ops.mel import mel_and_energy_batch
+
+    hp = _flagship_hparams()
+    B = 32
+    S = hp.hop_length * 512  # ~5.9 s per utterance at 22.05 kHz
+    rng = np.random.default_rng(2)
+    wavs = (0.3 * np.sin(2 * np.pi * 150 *
+                         np.arange(S) / hp.sampling_rate)
+            + 0.05 * rng.standard_normal(S)).astype(np.float32)
+    wavs = np.broadcast_to(wavs, (B, S)).copy()
+    lens = np.full((B,), S, np.int64)
+    dev = jax.devices()[0]
+    wavs_d = jax.device_put(wavs, dev)
+
+    mel_fn = _jit(
+        lambda w: mel_and_energy_batch(
+            w, hp.sampling_rate, hp.filter_length, hp.hop_length,
+            hp.n_mel_channels, hp.mel_fmin, hp.mel_fmax,
+            hp.min_clipping, hp.centered), "bench_preproc_mel")
+    # track_pitch_batch reads lengths on host (np.asarray) to build the
+    # validity mask, so bake the constant full-length rows in
+    f0_fn = _jit(
+        lambda w: track_pitch_batch(
+            w, lens, hp.sampling_rate, frame_interval=hp.f0_interval,
+            min_f0=hp.min_f0, max_f0=hp.max_f0, uv_weight=hp.uv_cost),
+        "bench_preproc_f0")
+
+    jax.block_until_ready(mel_fn(wavs_d))
+    jax.block_until_ready(f0_fn(wavs_d))
+    audio_s = B * S / hp.sampling_rate
+    iters = 10
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = mel_fn(wavs_d)
+    jax.block_until_ready(out)
+    mel_rtf = audio_s * iters / (time.perf_counter() - t0)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = f0_fn(wavs_d)
+    jax.block_until_ready(out)
+    f0_rtf = audio_s * iters / (time.perf_counter() - t0)
+
+    combined = 1.0 / (1.0 / mel_rtf + 1.0 / f0_rtf)
+    return round(combined, 1), round(mel_rtf, 1), round(f0_rtf, 1)
+
+
 def _streaming_ttfa_ms():
     """Time-to-first-audio of the streaming vocoder vs vocoding the
     whole utterance in one dispatch, on a ~20 s utterance (1723 mel
@@ -490,6 +548,7 @@ def main():
     steps_per_sec, train_mfu = _train_steps_per_sec(hp)
     rtf_vocoder = _vocoder_rtf()
     ttfa_ms, full_voc_ms = _streaming_ttfa_ms()
+    pre_rtf, pre_mel_rtf, pre_f0_rtf = _preprocess_rtf()
 
     print(json.dumps({
         "metric": "batched_mel_synthesis_rtf",
@@ -503,6 +562,9 @@ def main():
             "rtf_vocoder_hifigan": round(rtf_vocoder, 2),
             "ttfa_stream_20s_ms": round(ttfa_ms, 3),
             "vocode_full_20s_ms": round(full_voc_ms, 3),
+            "preprocess_rtf_device": pre_rtf,
+            "preprocess_rtf_mel_energy": pre_mel_rtf,
+            "preprocess_rtf_f0_nccf": pre_f0_rtf,
             "mfu_batched_inference": mfu,
             "flops_per_batched_call": flops_per_call,
             "p50_utterance_latency_ms": round(p50_ms, 3),
