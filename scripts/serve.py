@@ -255,6 +255,38 @@ class SynthesisService:
                 "pitch_transform": pitch_transform,
                 "t0": time.perf_counter()}
 
+    def prepare_jobs(self, text: str, split: bool = True,
+                     **kwargs) -> list:
+        """Paragraph-aware request preparation.
+
+        Splits prose into sentences (`text/segment.py`) and prepares
+        one job per sentence -- the model was trained on
+        EOS-terminated single sentences, and a paragraph's symbol
+        count can exceed the static ``max_symbols`` bucket. Scalar
+        control factors broadcast to every sentence; per-symbol factor
+        LISTS are only accepted for single-sentence requests (the
+        caller cannot know the split points).
+        """
+        from daft_exprt_tpu.text.segment import split_paragraph
+
+        if not isinstance(text, str):
+            raise ValueError('"text" must be a string')
+        sentences = split_paragraph(text) if split else [text]
+        if not sentences:
+            raise ValueError("no synthesizable text")
+        if len(sentences) > 1:
+            for key in ("dur_factor", "energy_factor", "pitch_factor"):
+                if isinstance(kwargs.get(key), (list, tuple)):
+                    raise ValueError(
+                        f"per-symbol {key} list is ambiguous for a "
+                        f"{len(sentences)}-sentence paragraph; send "
+                        "sentences as separate requests or a scalar")
+        t0 = time.perf_counter()
+        jobs = [self.prepare_job(s, **kwargs) for s in sentences]
+        for job in jobs:
+            job["t0"] = t0  # latency accounts the whole request
+        return jobs
+
     def run_jobs(self, jobs: list, pitch_transform: str) -> list:
         """Collate jobs into ONE engine dispatch; one result per job.
 
@@ -320,14 +352,19 @@ class SynthesisService:
         return results
 
     def stream_job(self, job: dict):
-        """Synthesize one utterance as a lazily-vocoded chunk stream.
+        """Single-sentence convenience wrapper over :meth:`stream_jobs`."""
+        return self.stream_jobs([job])
 
-        Runs the acoustic pass (one dispatch -> mel), then vocodes
-        fixed-size mel windows (`vocoder/streaming.py`), so the first
-        audio bytes leave the server after ONE window's vocoding
-        instead of after the whole utterance's. The concatenated
-        chunks equal the batch path's waveform (exact windowing; see
-        tests/test_streaming_vocoder.py).
+    def stream_jobs(self, jobs: list, gap_ms: float = 0.0):
+        """Synthesize utterance(s) as a lazily-vocoded chunk stream.
+
+        One batched acoustic dispatch produces every sentence's mel;
+        then fixed-size mel windows are vocoded sentence by sentence
+        (`vocoder/streaming.py`), so the first audio bytes leave the
+        server after ONE window's vocoding instead of after the whole
+        paragraph's. The concatenated chunks equal the batch path's
+        waveform (exact windowing; see tests/test_streaming_vocoder.py),
+        with ``gap_ms`` of silence between sentences.
 
         :return: (chunk_iterator yielding float32 arrays, mel frames,
             total samples, truncated)
@@ -340,45 +377,59 @@ class SynthesisService:
         if self.streamer is None:
             raise ValueError("streaming requires --vocoder")
 
-        def fac(key):
-            return [job[key]] if job[key] is not None else None
+        def factors(key):
+            vals = [j[key] for j in jobs]
+            return vals if any(v is not None for v in vals) else None
 
+        B = len(jobs)
+        pad_to = 1 << (B - 1).bit_length()
         inputs, _ = collate_inference_batch(
-            [job["sentence"]], fac("dur_factor"), fac("energy_factor"),
-            fac("pitch_factor"), job["pitch_transform"],
-            [self.styles[job["style"]]], [job["speaker_id"]], self.hp,
-            pad_batch_to=1)
+            [j["sentence"] for j in jobs], factors("dur_factor"),
+            factors("energy_factor"), factors("pitch_factor"),
+            jobs[0]["pitch_transform"],
+            [self.styles[j["style"]] for j in jobs],
+            [j["speaker_id"] for j in jobs], self.hp,
+            pad_batch_to=pad_to)
+        film_keys = [(j["style"], j["speaker_id"]) for j in jobs] \
+            + [None] * (pad_to - B)
         with self.lock:
             _, dec, _ = self.engine.run_cached(
-                inputs, job["pitch_transform"],
-                [(job["style"], job["speaker_id"])],
+                inputs, jobs[0]["pitch_transform"], film_keys,
                 want_weights=False, packed=True)
         mel, out_lens, overflow = dec
-        n_frames = int(out_lens[0])
-        truncated = bool(overflow[0])
+        frames = [int(out_lens[i]) for i in range(B)]
+        truncated = any(bool(overflow[i]) for i in range(B))
         if truncated:
             self._warn_truncated()
-        mel_np = np.asarray(mel)[0]
+        mel_np = np.asarray(mel)
+        up = self.streamer.up
+        gap = np.zeros(int(gap_ms / 1e3 * self.hp.sampling_rate),
+                       np.float32)
+        total = sum(frames) * up + len(gap) * (B - 1)
 
         def chunks():
             # the lock is held per device dispatch, not across the
             # client's read loop, so a slow consumer never stalls
             # other requests
-            it = self.streamer.stream(mel_np, n_frames)
             first = True
-            while True:
-                with self.lock:
-                    try:
-                        chunk = next(it)
-                    except StopIteration:
-                        return
-                if first:
-                    first = False
-                    self._record_stream(
-                        time.perf_counter() - job["t0"], truncated)
-                yield chunk
+            for row in range(B):
+                if row and len(gap):
+                    yield gap
+                it = self.streamer.stream(mel_np[row], frames[row])
+                while True:
+                    with self.lock:
+                        try:
+                            chunk = next(it)
+                        except StopIteration:
+                            break
+                    if first:
+                        first = False
+                        self._record_stream(
+                            time.perf_counter() - jobs[0]["t0"],
+                            truncated)
+                    yield chunk
 
-        return chunks(), n_frames, n_frames * self.streamer.up, truncated
+        return chunks(), sum(frames), total, truncated
 
     def _record_stream(self, ttfa_seconds: float, truncated: bool):
         if self._warming:
@@ -431,16 +482,38 @@ class SynthesisService:
             f"({self.engine.max_out_frames} frames); audio tail "
             "truncated")
 
-    def synthesize(self, text: str, **kwargs):
+    def synthesize(self, text: str, gap_ms: float = 0.0,
+                   split: bool = True, **kwargs):
         """-> (wav float32, mel frames, synth seconds, truncated).
 
-        ``truncated`` is True when the predicted duration exceeded the
-        engine frame budget and the audio tail was cut (also logged).
+        ``text`` may be a whole paragraph: it is segmented into
+        sentences, ALL sentences run as one batched device dispatch,
+        and the waveforms concatenate (with ``gap_ms`` of silence
+        between sentences). ``truncated`` is True when any sentence's
+        predicted duration exceeded the engine frame budget and its
+        audio tail was cut (also logged).
         """
-        job = self.prepare_job(text, **kwargs)
-        if self.batcher is not None:
-            return self.batcher.submit(job)
-        return self.run_jobs([job], job["pitch_transform"])[0]
+        import numpy as np
+
+        jobs = self.prepare_jobs(text, split=split, **kwargs)
+        if len(jobs) == 1:
+            job = jobs[0]
+            if self.batcher is not None:
+                return self.batcher.submit(job)
+            return self.run_jobs([job], job["pitch_transform"])[0]
+        # a paragraph is already a batch -- one dispatch, no batcher
+        results = self.run_jobs(jobs, jobs[0]["pitch_transform"])
+        gap = np.zeros(int(gap_ms / 1e3 * self.hp.sampling_rate),
+                       np.float32)
+        wavs = []
+        for wav, _, _, _ in results:
+            if wavs:
+                wavs.append(gap)
+            wavs.append(wav)
+        total_frames = sum(r[1] for r in results)
+        truncated = any(r[3] for r in results)
+        return (np.concatenate(wavs), total_frames,
+                time.perf_counter() - jobs[0]["t0"], truncated)
 
     def warmup(self, pitch_transforms=("add",)):
         """Compile the serving executables before accepting traffic.
@@ -566,7 +639,9 @@ def make_handler(service: "SynthesisService"):
                     dur_factor=req.get("dur_factor"),
                     energy_factor=req.get("energy_factor"),
                     pitch_factor=req.get("pitch_factor"),
-                    pitch_transform=req.get("pitch_transform", "add"))
+                    pitch_transform=req.get("pitch_transform", "add"),
+                    gap_ms=float(req.get("gap_ms", 0.0)),
+                    split=bool(req.get("split", True)))
             except (ValueError, AssertionError, KeyError,
                     json.JSONDecodeError) as e:
                 self._json(400, {"error": str(e)})
@@ -592,15 +667,17 @@ def make_handler(service: "SynthesisService"):
             flushed as each mel window is vocoded."""
             try:
                 req = self._read_request()
-                job = service.prepare_job(
+                jobs = service.prepare_jobs(
                     req["text"], speaker_id=req.get("speaker_id"),
                     style=req.get("style"),
                     dur_factor=req.get("dur_factor"),
                     energy_factor=req.get("energy_factor"),
                     pitch_factor=req.get("pitch_factor"),
-                    pitch_transform=req.get("pitch_transform", "add"))
+                    pitch_transform=req.get("pitch_transform", "add"),
+                    split=bool(req.get("split", True)))
                 chunks, frames, samples, truncated = \
-                    service.stream_job(job)
+                    service.stream_jobs(
+                        jobs, gap_ms=float(req.get("gap_ms", 0.0)))
             except (ValueError, AssertionError, KeyError,
                     json.JSONDecodeError) as e:
                 self._json(400, {"error": str(e)})

@@ -36,6 +36,7 @@ import pytest  # noqa: E402
 # <2-minute green/red signal, `-m "not slow"` is equivalent.
 _FAST_MODULES = {
     "test_text", "test_phonemizer", "test_config", "test_durations",
+    "test_segment",
     "test_utils", "test_evaluation", "test_loss", "test_mel",
     "test_pitch", "test_audio", "test_modules", "test_checkpoint",
 }

@@ -347,5 +347,60 @@ def test_stream_route(tmp_path):
         stats = json.loads(data)
         assert stats["stream_requests"] >= 1
         assert stats["p50_ttfa_ms"] is not None
+
+        # paragraph stream: one acoustic dispatch, sentence-by-sentence
+        # vocoding, silence gap between sentences
+        s1, s2 = "{HH AH0 L OW1} {W ER1 L D}.", "{G UH1 D} {D EY1}."
+        resp, data = _request(port, "POST", "/stream",
+                              {"text": f"{s1} {s2}", "speaker_id": 0,
+                               "style": "calm", "gap_ms": 50})
+        assert resp.status == 200
+        frames2 = int(resp.getheader("X-Mel-Frames"))
+        with wave.open(io.BytesIO(data)) as w:
+            n = w.getnframes()
+        assert n == frames2 * hp.hop_length \
+            + int(0.05 * hp.sampling_rate)
     finally:
         httpd.shutdown()
+
+
+def test_synthesize_paragraph_batches_sentences(server):
+    """A multi-sentence request synthesizes per sentence (one batched
+    dispatch) and concatenates, matching individual requests."""
+    port, hp = server
+    s1 = "{HH AH0 L OW1} {W ER1 L D}."
+    s2 = "{G UH1 D} {M AO1 R N IH0 NG}."
+
+    singles = []
+    for s in (s1, s2):
+        resp, data = _request(port, "POST", "/synthesize", {"text": s})
+        assert resp.status == 200
+        singles.append((int(resp.getheader("X-Mel-Frames")), data))
+
+    resp, data = _request(port, "POST", "/synthesize",
+                          {"text": f"{s1} {s2}"})
+    assert resp.status == 200
+    frames = int(resp.getheader("X-Mel-Frames"))
+    assert frames == singles[0][0] + singles[1][0]
+    with wave.open(io.BytesIO(data)) as w:
+        n = w.getnframes()
+    want = sum(
+        wave.open(io.BytesIO(d)).getnframes() for _, d in singles)
+    assert n == want
+
+    # gap_ms inserts silence between sentences
+    resp, data = _request(port, "POST", "/synthesize",
+                          {"text": f"{s1} {s2}", "gap_ms": 100})
+    with wave.open(io.BytesIO(data)) as w:
+        assert w.getnframes() == want + int(0.1 * hp.sampling_rate)
+
+    # split=false keeps the old single-utterance behavior
+    resp, _ = _request(port, "POST", "/synthesize",
+                       {"text": f"{s1} {s2}", "split": False})
+    assert resp.status == 200
+
+    # per-symbol factor lists are ambiguous across a split -> 400
+    resp, data = _request(port, "POST", "/synthesize",
+                          {"text": f"{s1} {s2}",
+                           "dur_factor": [1.0] * 14})
+    assert resp.status == 400 and b"paragraph" in data
