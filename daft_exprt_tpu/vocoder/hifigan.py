@@ -501,13 +501,34 @@ def _to_conv_transpose(state, prefix):
 def prepare_blocked_inference(gen: "HiFiGanGenerator", params):
     """(plan, arrays, mrf_mode) for ``apply_blocked``: blocked weights
     with the resblock representation the active MRF mode won't use
-    dropped (shared by vocode_mels and the fused serving engine)."""
+    dropped (shared by vocode_mels and the fused serving engine).
+
+    Memoized per (generator, params identity, mrf mode) with the
+    blocked weights pinned ON DEVICE, so a server that both fuses the
+    vocoder into the acoustic graph and runs the streaming route keeps
+    ONE resident copy of the blocked weights instead of two. Same
+    no-in-place-mutation contract as ``vocode_mels``; each entry pins
+    the params dict it was built from so a freed dict's id can never
+    alias a new one.
+    """
     from daft_exprt_tpu.ops.mrf_vocoder import mrf_kernel_enabled
-    plan, arrays = make_blocked_params(gen, params)
     mrf_mode = "auto" if mrf_kernel_enabled() else "off"
+    cache = getattr(gen, "_blocked_cache", None)
+    if cache is None:
+        cache = gen._blocked_cache = {}
+    key = (id(params), mrf_mode)
+    if key in cache:
+        entry = cache.pop(key)
+        cache[key] = entry  # refresh LRU order
+        return entry[1]
+    plan, arrays = make_blocked_params(gen, params)
     for sp, sa in zip(plan["stages"], arrays["stages"]):
         if "mrf" in sp:
             sa.pop("resblocks" if mrf_mode == "auto" else "mrf", None)
+    arrays = jax.device_put(arrays)  # no-op for later sharers
+    cache[key] = (params, (plan, arrays, mrf_mode))
+    while len(cache) > 2:
+        cache.pop(next(iter(cache)))
     return plan, arrays, mrf_mode
 
 

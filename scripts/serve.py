@@ -83,11 +83,23 @@ class DynamicBatcher:
 
     def submit(self, job: dict):
         """Blocking: returns this job's (wav, frames, seconds,
-        truncated) once its batch has run."""
+        truncated) once its batch has run.
+
+        Never hangs on a dead worker: the wait re-checks the worker
+        thread's liveness, so if the loop is ever killed by a
+        non-``Exception`` escape the request fails loudly (500)
+        instead of blocking forever.
+        """
+        if not self.thread.is_alive():
+            raise RuntimeError("dynamic batcher worker has died; "
+                               "restart the server")
         event = threading.Event()
         slot: dict = {}
         self.queue.put((job, event, slot))
-        event.wait()
+        while not event.wait(timeout=5.0):
+            if not self.thread.is_alive() and not event.is_set():
+                raise RuntimeError("dynamic batcher worker died while "
+                                   "the request was queued")
         if "error" in slot:
             raise slot["error"]
         return slot["result"]
@@ -110,28 +122,44 @@ class DynamicBatcher:
     def _loop(self):
         while True:
             batch = self._drain()
-            groups: dict = {}
-            for item in batch:
-                groups.setdefault(item[0]["pitch_transform"],
-                                  []).append(item)
-            for pt, items in groups.items():
-                try:
-                    results = self.service.run_jobs(
-                        [job for job, _, _ in items], pt)
-                    for (_, event, slot), res in zip(items, results):
-                        slot["result"] = res
+            try:
+                self._process(batch)
+            except BaseException as e:  # noqa: BLE001 -- fail loudly
+                # a non-Exception escape (SystemExit, injected
+                # KeyboardInterrupt, ...) kills this worker: fail the
+                # in-flight requests before dying so nobody hangs
+                # (submit() also re-checks thread liveness)
+                for _, event, slot in batch:
+                    if not event.is_set():
+                        slot.setdefault(
+                            "error",
+                            RuntimeError(f"batcher worker died: {e!r}"))
                         event.set()
-                except Exception:  # noqa: BLE001 -- isolate per request
-                    # a row-specific failure must not 500 its batch
-                    # mates: retry each job alone; solo failures
-                    # propagate to their own request only
-                    for job, event, slot in items:
-                        try:
-                            slot["result"] = self.service.run_jobs(
-                                [job], pt)[0]
-                        except Exception as e:  # noqa: BLE001
-                            slot["error"] = e
-                        event.set()
+                raise
+
+    def _process(self, batch):
+        groups: dict = {}
+        for item in batch:
+            groups.setdefault(item[0]["pitch_transform"],
+                              []).append(item)
+        for pt, items in groups.items():
+            try:
+                results = self.service.run_jobs(
+                    [job for job, _, _ in items], pt)
+                for (_, event, slot), res in zip(items, results):
+                    slot["result"] = res
+                    event.set()
+            except Exception:  # noqa: BLE001 -- isolate per request
+                # a row-specific failure must not 500 its batch
+                # mates: retry each job alone; solo failures
+                # propagate to their own request only
+                for job, event, slot in items:
+                    try:
+                        slot["result"] = self.service.run_jobs(
+                            [job], pt)[0]
+                    except Exception as e:  # noqa: BLE001
+                        slot["error"] = e
+                    event.set()
 
 
 class SynthesisService:
@@ -287,15 +315,13 @@ class SynthesisService:
             job["t0"] = t0  # latency accounts the whole request
         return jobs
 
-    def run_jobs(self, jobs: list, pitch_transform: str) -> list:
-        """Collate jobs into ONE engine dispatch; one result per job.
+    def _collate_jobs(self, jobs: list, pitch_transform: str):
+        """jobs -> (inputs, film_keys): one padded engine batch.
 
         The batch is padded to a power of two so concurrent traffic
         reuses a handful of compiled batch shapes instead of one per
-        occupancy. :return: [(wav, frames, seconds, truncated), ...]
+        occupancy.
         """
-        import numpy as np
-
         from daft_exprt_tpu.inference.generate import \
             collate_inference_batch
 
@@ -314,6 +340,19 @@ class SynthesisService:
             pad_batch_to=pad_to)
         film_keys = [(j["style"], j["speaker_id"]) for j in jobs] \
             + [None] * (pad_to - B)
+        return inputs, film_keys
+
+    def run_jobs(self, jobs: list, pitch_transform: str,
+                 record: bool = True) -> list:
+        """Collate jobs into ONE engine dispatch; one result per job.
+
+        ``record=False`` skips /stats accounting (used by the paragraph
+        path, which counts the whole paragraph as one request).
+        :return: [(wav, frames, seconds, truncated), ...]
+        """
+        import numpy as np
+
+        inputs, film_keys = self._collate_jobs(jobs, pitch_transform)
 
         if self.vocoder is not None:
             # fused path: text -> waveform in one device dispatch
@@ -329,7 +368,8 @@ class SynthesisService:
                                 int(out_lens[row]),
                                 time.perf_counter() - job["t0"],
                                 truncated))
-            self.record_metrics(len(jobs), results)
+            if record:
+                self.record_metrics(len(jobs), results)
             return results
 
         with self.lock:
@@ -348,7 +388,8 @@ class SynthesisService:
             wav = griffin_lim_reconstruction_from_mel_spec(mel, self.hp)
             results.append((np.asarray(wav, np.float32), mel.shape[1],
                             time.perf_counter() - job["t0"], truncated))
-        self.record_metrics(len(jobs), results)
+        if record:
+            self.record_metrics(len(jobs), results)
         return results
 
     def stream_job(self, job: dict):
@@ -371,27 +412,12 @@ class SynthesisService:
         """
         import numpy as np
 
-        from daft_exprt_tpu.inference.generate import \
-            collate_inference_batch
-
         if self.streamer is None:
             raise ValueError("streaming requires --vocoder")
 
-        def factors(key):
-            vals = [j[key] for j in jobs]
-            return vals if any(v is not None for v in vals) else None
-
         B = len(jobs)
-        pad_to = 1 << (B - 1).bit_length()
-        inputs, _ = collate_inference_batch(
-            [j["sentence"] for j in jobs], factors("dur_factor"),
-            factors("energy_factor"), factors("pitch_factor"),
-            jobs[0]["pitch_transform"],
-            [self.styles[j["style"]] for j in jobs],
-            [j["speaker_id"] for j in jobs], self.hp,
-            pad_batch_to=pad_to)
-        film_keys = [(j["style"], j["speaker_id"]) for j in jobs] \
-            + [None] * (pad_to - B)
+        inputs, film_keys = self._collate_jobs(
+            jobs, jobs[0]["pitch_transform"])
         with self.lock:
             _, dec, _ = self.engine.run_cached(
                 inputs, jobs[0]["pitch_transform"], film_keys,
@@ -501,8 +527,10 @@ class SynthesisService:
             if self.batcher is not None:
                 return self.batcher.submit(job)
             return self.run_jobs([job], job["pitch_transform"])[0]
-        # a paragraph is already a batch -- one dispatch, no batcher
-        results = self.run_jobs(jobs, jobs[0]["pitch_transform"])
+        # a paragraph is already a batch -- one dispatch, no batcher;
+        # /stats counts it as ONE request (record=False per sentence)
+        results = self.run_jobs(jobs, jobs[0]["pitch_transform"],
+                                record=False)
         gap = np.zeros(int(gap_ms / 1e3 * self.hp.sampling_rate),
                        np.float32)
         wavs = []
@@ -512,13 +540,18 @@ class SynthesisService:
             wavs.append(wav)
         total_frames = sum(r[1] for r in results)
         truncated = any(r[3] for r in results)
-        return (np.concatenate(wavs), total_frames,
-                time.perf_counter() - jobs[0]["t0"], truncated)
+        out = (np.concatenate(wavs), total_frames,
+               time.perf_counter() - jobs[0]["t0"], truncated)
+        self.record_metrics(len(jobs), [out])
+        return out
 
-    def warmup(self, pitch_transforms=("add",)):
+    def warmup(self, pitch_transforms=("add", "multiply")):
         """Compile the serving executables before accepting traffic.
 
-        Covers EVERY output bucket, the first ``warmup_symbol_buckets``
+        Covers BOTH pitch transforms (each is a distinct executable —
+        an unwarmed transform would compile inside the serving lock on
+        its first request, stalling all traffic for the compile),
+        EVERY output bucket, the first ``warmup_symbol_buckets``
         input-length buckets (a sentence longer than one symbol bucket
         pads to the next multiple — a new shape), and — with dynamic
         batching on — every power-of-two batch occupancy the batcher
@@ -706,10 +739,11 @@ def make_handler(service: "SynthesisService"):
     return Handler
 
 
-def serve(service: "SynthesisService", host: str, port: int):
+def serve(service: "SynthesisService", host: str, port: int,
+          pitch_transforms=("add", "multiply")):
     from http.server import ThreadingHTTPServer
 
-    service.warmup()
+    service.warmup(pitch_transforms)
     httpd = ThreadingHTTPServer((host, port), make_handler(service))
     _logger.info(f"serving on http://{host}:{port}")
     return httpd
@@ -732,6 +766,13 @@ def main():
     parser.add_argument("--max_batch", type=int, default=8)
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=8080)
+    parser.add_argument("--warmup_transforms", default="add,multiply",
+                        help="comma-separated pitch transforms to "
+                             "pre-compile; an unwarmed transform "
+                             "compiles inside the serving lock on its "
+                             "first request (restrict to 'add' only to "
+                             "halve cold-start when multiply is never "
+                             "used)")
     parser.add_argument("--warmup_symbol_buckets", type=int, default=2,
                         help="input-length buckets to pre-compile "
                              "(sentences longer than symbol_bucket pad "
@@ -753,7 +794,10 @@ def main():
         batch_window_ms=args.batch_window_ms, max_batch=args.max_batch,
         aot_cache=args.aot_cache,
         warmup_symbol_buckets=args.warmup_symbol_buckets)
-    serve(service, args.host, args.port).serve_forever()
+    transforms = tuple(
+        t.strip() for t in args.warmup_transforms.split(",") if t.strip())
+    serve(service, args.host, args.port,
+          pitch_transforms=transforms).serve_forever()
 
 
 if __name__ == "__main__":

@@ -49,7 +49,10 @@ def server(tmp_path_factory):
              (0.5 * np.sin(phase)).astype(np.float32), hp.sampling_rate)
 
     service = srv.SynthesisService(ckpt_dir, style_dir)
-    httpd = srv.serve(service, "127.0.0.1", 0)
+    # warm only "add": every test here uses it, and compiling the
+    # multiply graphs would triple fixture time; the default transform
+    # coverage is asserted separately (test_warmup_covers_multiply)
+    httpd = srv.serve(service, "127.0.0.1", 0, pitch_transforms=("add",))
     thread = threading.Thread(target=httpd.serve_forever, daemon=True)
     thread.start()
     yield httpd.server_address[1], hp
@@ -404,3 +407,58 @@ def test_synthesize_paragraph_batches_sentences(server):
                           {"text": f"{s1} {s2}",
                            "dur_factor": [1.0] * 14})
     assert resp.status == 400 and b"paragraph" in data
+
+
+def test_paragraph_counts_as_one_request(server):
+    """/stats accounts a paragraph as ONE request with ONE latency
+    sample (the dispatch width still lands in batch_sizes)."""
+    port, hp = server
+    before = json.loads(_request(port, "GET", "/stats")[1])
+    resp, _ = _request(port, "POST", "/synthesize",
+                       {"text": "{HH AH0 L OW1}. {G UH1 D} {D EY1}. "
+                                "{B AY1} {N AW1}."})
+    assert resp.status == 200
+    after = json.loads(_request(port, "GET", "/stats")[1])
+    assert after["requests"] == before["requests"] + 1
+    assert after["batch_sizes"].get("3", 0) \
+        == before["batch_sizes"].get("3", 0) + 1
+
+
+def test_warmup_covers_multiply():
+    """serve()'s default warmup compiles BOTH pitch transforms: an
+    unwarmed transform would compile inside the serving lock on its
+    first request."""
+    import inspect
+
+    import serve as srv
+
+    sig = inspect.signature(srv.SynthesisService.warmup)
+    assert sig.parameters["pitch_transforms"].default \
+        == ("add", "multiply")
+    sig = inspect.signature(srv.serve)
+    assert sig.parameters["pitch_transforms"].default \
+        == ("add", "multiply")
+
+
+@pytest.mark.filterwarnings(
+    "ignore::pytest.PytestUnhandledThreadExceptionWarning")
+def test_batcher_dead_worker_fails_loudly():
+    """A killed batcher worker fails queued + future requests with an
+    error instead of hanging them forever."""
+    import serve as srv
+
+    class _Svc:
+        calls = 0
+
+        def run_jobs(self, jobs, pt, record=True):
+            _Svc.calls += 1
+            raise SystemExit("worker killed")  # non-Exception escape
+
+    batcher = srv.DynamicBatcher(_Svc(), window_ms=5.0, max_batch=4)
+    job = {"pitch_transform": "add"}
+    with pytest.raises(RuntimeError, match="died"):
+        batcher.submit(job)
+    batcher.thread.join(timeout=10.0)
+    assert not batcher.thread.is_alive()
+    with pytest.raises(RuntimeError, match="died|restart"):
+        batcher.submit(job)
