@@ -31,6 +31,8 @@ def make_benchmark_hook(hparams, scripts_root: str):
                         "checkpoint synthesis disabled")
         return None
 
+    state = {}  # engine built once; compiled graphs reused across hooks
+
     def hook(params, iteration, output_dir):
         from daft_exprt_tpu.inference.generate import (
             InferenceEngine, generate_mel_specs,
@@ -53,8 +55,18 @@ def make_benchmark_hook(hparams, scripts_root: str):
             speakers = [rng.choice(hparams.speakers_id)
                         for _ in sentences]
 
-            model = DaftExprt(hparams)
-            engine = InferenceEngine(model, params, hparams)
+            # build the engine ONCE: params are arguments to its
+            # compiled graphs, so later checkpoints swap weights in
+            # without recompiling (a fresh engine per checkpoint paid
+            # the full XLA compile of every inference graph while the
+            # train loop's chief host stalled)
+            engine = state.get("engine")
+            if engine is None:
+                engine = InferenceEngine(DaftExprt(hparams), params,
+                                         hparams)
+                state["engine"] = engine
+            else:
+                engine.update_params(params)
             generate_mel_specs(engine, sentences, file_names, speakers,
                                [ref_npz] * len(sentences), out_dir,
                                hparams, batch_size=len(sentences),
@@ -63,6 +75,7 @@ def make_benchmark_hook(hparams, scripts_root: str):
         except Exception as e:  # never kill training for a preview
             _logger.warning(f"benchmark synthesis failed: {e}")
 
+    hook._state = state  # introspectable: engine reuse is tested
     return hook
 
 

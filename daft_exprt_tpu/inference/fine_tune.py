@@ -48,11 +48,14 @@ def fine_tuning_dataset(model, params, hparams, dataset_dir: str,
         return outputs[3]  # decoder_preds = [mel_spec_preds, out_lens]
 
     n_done = 0
+    n_dropped = 0
     for idxs in chunker(list(range(len(ds))), batch_size):
         examples = [ds[i] for i in idxs]
-        examples = [e for e in examples
-                    if len(e["symbols"]) <= hp.max_symbols
-                    and e["mel_spec"].shape[1] <= hp.max_frames]
+        kept = [e for e in examples
+                if len(e["symbols"]) <= hp.max_symbols
+                and e["mel_spec"].shape[1] <= hp.max_frames]
+        n_dropped += len(examples) - len(kept)
+        examples = kept
         if not examples:
             continue
         batch = collate(examples, hp)
@@ -107,6 +110,15 @@ def fine_tuning_dataset(model, params, hparams, dataset_dir: str,
             save_wav(os.path.join(spk_dir, f"{file_name}.wav"), wav,
                      hp.sampling_rate)
             n_done += 1
+    if n_dropped:
+        # the reference processes every training utterance
+        # (fine_tune.py:47-48, drop_last=False); our static buckets cap
+        # lengths, so a silent drop would bias the vocoder dataset
+        # toward short utterances without anyone noticing
+        _logger.warning(
+            f"fine-tuning dataset: {n_dropped} utterances exceeded "
+            f"max_symbols={hp.max_symbols}/max_frames={hp.max_frames} "
+            "and were dropped; raise those hparams to include them")
     _logger.info(f"fine-tuning dataset: {n_done} utterances written to "
                  f"{output_dir}")
     return n_done

@@ -84,14 +84,27 @@ def pitch_stats_arrays(hparams):
 # ----------------------------------------------------------------------
 # Collation (bucketed static shapes)
 # ----------------------------------------------------------------------
+_SYMBOL_TABLES: dict = {}
+
+
 def encode_symbols(sentence, hparams) -> np.ndarray:
     """Phonemized sentence structure -> int32 symbol id sequence."""
+    # {symbol: id} built once per symbol inventory: this runs on the
+    # serving collation path, and per-phone list .index() scans are
+    # O(|symbols|) each. (Keyed by value, not stored on hparams, whose
+    # __dict__ round-trips to config.json.)
+    key = tuple(hparams.symbols)
+    table = _SYMBOL_TABLES.get(key)
+    if table is None:
+        table = _SYMBOL_TABLES[key] = {s: i for i, s in enumerate(key)}
+        while len(_SYMBOL_TABLES) > 4:
+            _SYMBOL_TABLES.pop(next(iter(_SYMBOL_TABLES)))
     ids = []
     for item in sentence:
         if isinstance(item, list):
-            ids.extend(hparams.symbols.index(p) for p in item)
+            ids.extend(table[p] for p in item)
         else:
-            ids.append(hparams.symbols.index(item))
+            ids.append(table[item])
     return np.array(ids, np.int32)
 
 
@@ -248,6 +261,24 @@ class InferenceEngine:
         # (encoder_film, pred_film, decoder_film) numpy slices. The
         # prosody encoder reads only the reference, so with a fixed
         # style bank this removes ~60% of per-sentence inference work.
+        self._film_cache = {}
+
+    def update_params(self, params):
+        """Swap in new weights WITHOUT recompiling.
+
+        Params are arguments to every compiled graph (only config/stat
+        tables are baked in as constants), so the executable cache
+        stays valid across weight updates — e.g. the checkpoint-time
+        benchmark hook synthesizes with fresh training weights at every
+        checkpoint through the same compiled graphs. The FiLM cache is
+        dropped (its entries were computed with the old weights).
+        """
+        if self.mesh is not None:
+            from daft_exprt_tpu.parallel.mesh import replicated
+            params = jax.device_put(params, replicated(self.mesh))
+        else:
+            params = jax.device_put(params)
+        self.params = params
         self._film_cache = {}
 
     @staticmethod
@@ -635,10 +666,15 @@ class InferenceEngine:
         hp = self.hp
         L = n_symbols or hp.symbol_bucket
         T_ref = ref_frames or hp.frame_bucket
-        key = ("__warmup__", 0)
         saved = self.out_frame_buckets
         try:
             for B in batch_sizes:
+                # per-B key: the FiLM executable's shape depends on the
+                # batch size, and a key already cached from a smaller B
+                # would skip _fn_film entirely — leaving the B-row film
+                # graph to compile inside the serving lock on the first
+                # real batch of that occupancy with an uncached style
+                key = ("__warmup__", B)
                 inputs = (np.ones((B, L), np.int32),
                           np.ones((B, L), np.float32),
                           np.ones((B, L), np.float32),
@@ -664,7 +700,8 @@ class InferenceEngine:
                                             packed=True)
         finally:
             self.out_frame_buckets = saved
-            self._film_cache.pop(key, None)
+            for B in batch_sizes:
+                self._film_cache.pop(("__warmup__", B), None)
 
     def _decode_bucketed(self, inputs, enc_outputs, decoder_film,
                          encoder_preds, want_weights=True):

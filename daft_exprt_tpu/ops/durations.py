@@ -88,7 +88,12 @@ def durations_to_int_frames(durations, sampling_rate: int, filter_length: int,
     end_s = jnp.floor(end * sampling_rate).astype(jnp.int32)
 
     total = end_s[:, -1:]
-    nb_frames = 1 + (total - filter_length) // h  # (B, 1)
+    # Reference: 1 + int((nb_samples - filter_length) / hop) — int()
+    # truncates toward zero, so audio SHORTER than one FFT window still
+    # gets 1 base frame (floor division would give 0 and, uncentered,
+    # an empty mel for a non-empty input).
+    diff = total - filter_length
+    nb_frames = 1 + jnp.sign(diff) * (jnp.abs(diff) // h)  # (B, 1)
     nb_frames = jnp.maximum(nb_frames, 0)
 
     # Count frame centers c + h*k with begin_s < c + h*k <= end_s,

@@ -56,6 +56,22 @@ def test_vectorized_matches_exact(hp, rng_np):
         assert np.all(vec[n:] == 0)
 
 
+def test_vectorized_sub_window_audio(hp):
+    """Audio shorter than one FFT window still gets the reference's 1
+    base frame: int() truncates toward zero where floor division would
+    yield 0 (reference extract_features.py:81)."""
+    durs = [0.04]  # 882 samples < filter_length 1024
+    exact = duration_to_integer([[0.0, durs[0]]], hp)
+    padded = np.zeros(8, np.float32)
+    padded[0] = durs[0]
+    vec = np.asarray(durations_to_int_frames(
+        padded[None, :], hp.sampling_rate, hp.filter_length,
+        hp.hop_length, hp.centered))[0]
+    assert sum(exact) == vec.sum()
+    assert vec[0] == sum(exact)  # folded into the only phone
+    assert np.all(vec[1:] == 0)
+
+
 def test_vectorized_zero_durations(hp, rng_np):
     """Zeros yield 0 frames and do not shift later phone boundaries."""
     float_durs, durs = _random_durations(rng_np, 10)

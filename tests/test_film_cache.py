@@ -39,3 +39,20 @@ def test_run_cached_matches_run():
     # row 3 reuses ref_a's film: equals row 0's film-driven outputs only
     # if the sentence matches; just check it is finite and non-zero
     assert np.isfinite(dec2[0][3]).all()
+
+
+def test_warmup_compiles_film_per_batch_size():
+    """warmup(batch_sizes=(1,2)) traces the FiLM executable at EVERY
+    occupancy: the film graph's shape depends on B, and a key cached at
+    a smaller B must not skip the B-row compile (it would otherwise
+    happen inside the serving lock on the first real batch of that
+    occupancy)."""
+    hp = tiny_hparams()
+    model = DaftExprt(hp)
+    params = model.init_params(jax.random.PRNGKey(0))
+    engine = InferenceEngine(model, params, hp, max_out_frames=64)
+    engine.warmup(batch_sizes=(1, 2))
+    assert engine._fn_film()._cache_size() >= 2
+    # synthetic warmup keys must not linger in the style cache
+    assert not any(isinstance(k, tuple) and k and k[0] == "__warmup__"
+                   for k in engine._film_cache)

@@ -484,3 +484,60 @@ def test_train_loader_multiprocess_parity(corpus):
     import pytest as _pytest
     with _pytest.raises(AssertionError):
         TrainLoader(ds, hp, process_index=0, process_count=3)
+
+
+def test_benchmark_hook_reuses_engine(corpus, tmp_path):
+    """The checkpoint benchmark hook builds its InferenceEngine ONCE
+    and swaps weights on later checkpoints (a fresh engine per
+    checkpoint re-paid every XLA compile while the chief host stalled),
+    and actually writes mel previews."""
+    from daft_exprt_tpu.inference.benchmark import make_benchmark_hook
+    from daft_exprt_tpu.models.daft_exprt import DaftExprt
+
+    root, hp, dataset_dir, features_dir = corpus
+    if not os.path.isfile(hp.training_files):  # run after pipeline test
+        for spk in hp.speakers:
+            extract_markers(os.path.join(dataset_dir, spk, "align"),
+                            n_jobs=2)
+        extract_features(dataset_dir, features_dir, hp, n_jobs=2)
+        create_sets(features_dir, hp, proportion_validation=0.1)
+    if not hp.stats:
+        hp.stats = extract_features_stats(hp, n_jobs=2)
+
+    scripts_root = str(tmp_path / "scripts")
+    bench_dir = os.path.join(scripts_root, "benchmarks", hp.language)
+    os.makedirs(bench_dir)
+    with open(os.path.join(bench_dir, "sentences.txt"), "w") as f:
+        f.write("{HH AH0 L OW1} {W ER1 L D}\n{G UH1 D} {D EY1}\n")
+
+    hook = make_benchmark_hook(hp, scripts_root)
+    assert hook is not None
+
+    import jax
+    model = DaftExprt(hp)
+    params1 = model.init_params(jax.random.PRNGKey(0))
+    params2 = model.init_params(jax.random.PRNGKey(1))
+    out = str(tmp_path / "exp_out")
+
+    hook(params1, 1, out)
+    engine1 = hook._state.get("engine")
+    assert engine1 is not None, "hook must not have swallowed a failure"
+    first = os.path.join(out, "benchmark", "iter_1")
+    # generated previews only (the style reference ref_*.npz is also
+    # written there and is identical across checkpoints)
+    mels = sorted(f for f in os.listdir(first)
+                  if f.endswith(".npz") and not f.startswith("ref_"))
+    assert mels, os.listdir(first)
+
+    hook(params2, 2, out)
+    assert hook._state["engine"] is engine1  # reused, not rebuilt
+    second = os.path.join(out, "benchmark", "iter_2")
+    assert [f for f in os.listdir(second)
+            if f.endswith(".npz") and not f.startswith("ref_")]
+    # new weights really took effect: previews differ between ckpts
+    # (different weights -> different predicted durations/mels)
+    a = np.load(os.path.join(first, mels[0]))
+    b = np.load(os.path.join(second, mels[0]))
+    key = [k for k in a.files if "mel" in k][0]
+    assert a[key].shape != b[key].shape \
+        or not np.allclose(a[key], b[key])
