@@ -245,21 +245,41 @@ def extract_pitch(wav: np.ndarray, fs: int, hparams,
         track = track.astype(np.float64)
     else:
         track = sample_synchronous_f0(wav, fs, hparams).astype(np.float64)
-    return log_f0_per_mel_frame(track, hparams.hop_length)
+    return log_f0_per_mel_frame(track, hparams.hop_length,
+                                n_fft=hparams.filter_length,
+                                center=hparams.centered)
 
 
-def log_f0_per_mel_frame(track: np.ndarray,
-                         hop_length: int) -> np.ndarray:
-    """Per-sample F0 track -> per-mel-frame log-F0 (unvoiced = 0)."""
+def log_f0_per_mel_frame(track: np.ndarray, hop_length: int,
+                         n_fft: int | None = None,
+                         center: bool = True) -> np.ndarray:
+    """Per-sample F0 track -> per-mel-frame log-F0 (unvoiced = 0).
+
+    ``center=True`` reproduces the reference's sampling exactly
+    (extract_features.py:260-264: every ``hop`` samples, +1 edge frame
+    when divisible — each sampling point IS the centered window's
+    middle). ``center=False`` goes beyond the reference (whose pitch
+    count only matches centered mels; uncentered configs assert-skip
+    every file there): sample at each uncentered window's center
+    ``k*hop + n_fft//2`` and emit exactly ``num_frames(.., False)``
+    frames so pitch and mel counts agree.
+    """
     track = np.asarray(track, np.float64).copy()
     unvoiced = track <= 0.0
     track[unvoiced] = 1.0
     log_f0 = np.log(track)
     log_f0[unvoiced] = 0.0
-    frames = log_f0[::hop_length]
-    if len(log_f0) % hop_length == 0:
-        frames = np.append(frames, log_f0[-1])
-    return frames
+    if center:
+        frames = log_f0[::hop_length]
+        if len(log_f0) % hop_length == 0:
+            frames = np.append(frames, log_f0[-1])
+        return frames
+    assert n_fft is not None, "center=False needs n_fft"
+    from daft_exprt_tpu.ops.mel import num_frames
+    nb = num_frames(len(log_f0), n_fft, hop_length, center=False)
+    idx = np.minimum(n_fft // 2 + hop_length * np.arange(nb),
+                     max(len(log_f0) - 1, 0))
+    return log_f0[idx]
 
 
 def extract_pitch_from_frame_f0(f0: np.ndarray, starts: np.ndarray,
@@ -283,4 +303,6 @@ def extract_pitch_from_frame_f0(f0: np.ndarray, starts: np.ndarray,
     track = _hold_to_samples(np.asarray(f0)[keep],
                              np.asarray(starts)[keep], wav_len)
     return log_f0_per_mel_frame(track.astype(np.float64),
-                                hparams.hop_length)
+                                hparams.hop_length,
+                                n_fft=hparams.filter_length,
+                                center=hparams.centered)

@@ -147,20 +147,24 @@ def symbols_mean(frame_values: np.ndarray, int_durs: np.ndarray,
     segments yield 0) -- the per-symbol pitch rule.
     """
     int_durs = np.asarray(int_durs, np.int64)
-    offsets = np.concatenate([[0], np.cumsum(int_durs)[:-1]])
     vals = np.asarray(frame_values, np.float64)
-    # trailing zero-duration symbols (EOS/end punctuation) have offsets
-    # == len(vals); clip for reduceat -- their means are zeroed below
-    offsets = np.minimum(offsets, max(len(vals) - 1, 0))
+    # Exact segment sums via prefix sums: segment i is
+    # [ends_i - dur_i, ends_i). (reduceat was wrong here: trailing
+    # zero-duration symbols (EOS/end punctuation) have offsets ==
+    # len(vals), and clipping them for reduceat silently dropped the
+    # LAST REAL phone's final frame from its mean.)
+    ends = np.clip(np.cumsum(int_durs), 0, len(vals))
+    starts = np.clip(ends - int_durs, 0, len(vals))
     if voiced_only:
         mask = (vals > 0.0).astype(np.float64)
-        sums = np.add.reduceat(vals * mask, offsets)
-        counts = np.add.reduceat(mask, offsets)
+        cs_v = np.concatenate([[0.0], np.cumsum(vals * mask)])
+        cs_m = np.concatenate([[0.0], np.cumsum(mask)])
+        sums = cs_v[ends] - cs_v[starts]
+        counts = cs_m[ends] - cs_m[starts]
     else:
-        sums = np.add.reduceat(vals, offsets)
+        cs = np.concatenate([[0.0], np.cumsum(vals)])
+        sums = cs[ends] - cs[starts]
         counts = int_durs.astype(np.float64)
-    # reduceat with repeated offsets (zero-length segments) returns the
-    # value at that index; mask them out explicitly
     means = np.where(counts > 0, sums / np.maximum(counts, 1), 0.0)
     means[int_durs == 0] = 0.0
     return means
@@ -179,89 +183,37 @@ def min_phone_duration(marker_rows) -> float:
 
 def extract_features_for_file(markers_file: str, wav_file: str,
                               features_dir: str, hparams, logger=None):
-    """Extract and save all features for one (markers, wav) pair."""
-    logger = logger or _logger
-    assert os.path.isfile(markers_file), f"missing {markers_file}"
-    assert os.path.isfile(wav_file), f"missing {wav_file}"
-    with open(markers_file, encoding="utf-8") as f:
-        marker_rows = [line.strip().split("\t") for line in f
-                       if line.strip()]
+    """Extract and save all features for one (markers, wav) pair.
 
-    # every phone must be long enough to own >= 1 mel frame
-    fft_sec = hparams.filter_length / hparams.sampling_rate
-    assert min_phone_duration(marker_rows) > fft_sec / 2, (
-        f"{markers_file} -- phone shorter than filter_length/2")
-
-    sent_begin = float(marker_rows[0][0])
-    sent_end = float(marker_rows[-1][1])
-    if sent_end - sent_begin < hparams.minimum_wav_duration / 1000:
-        logger.warning(
-            f"Ignoring {wav_file} -- shorter than "
-            f"{hparams.minimum_wav_duration / 1000}s after trimming")
+    Single-file composition of the SAME stages the batched production
+    path runs (``_prepare_one`` -> host mel+energy -> ``_write_features``)
+    so the two cannot drift; the per-utterance host STFT here is the
+    bit-exactness oracle for the batched device kernel
+    (tests/test_pipeline.py). Returns the file name, or None if the
+    file was rejected (logged).
+    """
+    item = _prepare_one((markers_file, wav_file), hparams, None,
+                        logger=logger or _logger)
+    if item is None:
         return None
-
-    wav, fs = load_wav(wav_file, target_sr=hparams.sampling_rate)
-    wav = wav[int(sent_begin * fs):int(sent_end * fs)]
-
-    mel_spec = mel_spectrogram_hifi(wav, hparams)  # (n_mels, T) log-mel
-    nb_frames = mel_spec.shape[1]
-
-    float_durs = [[float(r[0]) - sent_begin, float(r[1]) - sent_begin]
-                  for r in marker_rows]
-    int_durs = duration_to_integer(float_durs, hparams,
-                                   nb_samples=len(wav))
-    assert len(int_durs) == len(marker_rows), \
-        f"{markers_file} -- {len(int_durs)} vs {len(marker_rows)}"
-    assert sum(int_durs) == nb_frames, \
-        f"{markers_file} -- {sum(int_durs)} vs {nb_frames}"
-    assert 0 not in int_durs, f"{markers_file} -- zero int duration"
-
-    file_name = os.path.basename(markers_file)[:-len(".markers")]
-    lab_file = os.path.join(os.path.dirname(markers_file),
-                            f"{file_name}.lab")
-    assert os.path.isfile(lab_file), f"missing {lab_file}"
-    with open(lab_file, encoding="utf-8") as f:
-        sentence = f.readline()
-
-    markers = update_markers(file_name, marker_rows, sentence, sent_begin,
-                             int_durs, hparams, logger)
-    if markers is None:
-        return None
-
-    all_durs = np.array([int(r[2]) for r in markers])
+    mel_spec = mel_spectrogram_hifi(item["wav"], hparams)
     frames_energy = extract_energy(np.exp(mel_spec))
-    symbols_energy = symbols_mean(frames_energy, all_durs)
-    frames_pitch = extract_pitch(wav, fs, hparams)
-    assert len(frames_pitch) == nb_frames, \
-        f"{markers_file} -- pitch {len(frames_pitch)} vs mel {nb_frames}"
-    symbols_pitch = symbols_mean(frames_pitch, all_durs, voiced_only=True)
-
-    os.makedirs(features_dir, exist_ok=True)
-    np.save(os.path.join(features_dir, f"{file_name}.npy"),
-            mel_spec.astype(np.float32))
-    with open(os.path.join(features_dir, f"{file_name}.markers"), "w",
-              encoding="utf-8") as f:
-        f.writelines("\t".join(r) + "\n" for r in markers)
-    for name, vals in (("frames_nrg", frames_energy),
-                       ("symbols_nrg", symbols_energy),
-                       ("frames_f0", frames_pitch),
-                       ("symbols_f0", symbols_pitch)):
-        with open(os.path.join(features_dir, f"{file_name}.{name}"), "w",
-                  encoding="utf-8") as f:
-            f.writelines(_fmt_col(vals))
-    return file_name
+    _write_features(features_dir, item, mel_spec, frames_energy)
+    return item["file_name"]
 
 
-def _prepare_one(files, hparams, log_queue, skip_pitch=False):
+def _prepare_one(files, hparams, log_queue, skip_pitch=False,
+                 logger=None):
     """Pool worker: everything numpy-only (NO jax in forked workers).
 
     Loads + trims the wav, validates markers, quantizes durations,
     rewrites markers, runs the NCCF pitch tracker (unless
     ``skip_pitch`` -- the device_pitch path batches F0 on device in the
     main process instead). The mel/energy device kernel runs batched in
-    the main process afterwards.
+    the main process afterwards. Pass ``logger`` when calling in-process
+    (no worker queue).
     """
-    logger = worker_logger(log_queue)
+    logger = logger or worker_logger(log_queue)
     markers_file, wav_file = files
     try:
         assert os.path.isfile(markers_file), f"missing {markers_file}"
@@ -280,8 +232,11 @@ def _prepare_one(files, hparams, log_queue, skip_pitch=False):
         wav, fs = load_wav(wav_file, target_sr=hparams.sampling_rate)
         wav = wav[int(sent_begin * fs):int(sent_end * fs)]
 
-        # mel frame count is deterministic: 1 + len(wav) // hop (centered)
-        nb_frames = 1 + len(wav) // hparams.hop_length
+        # mel frame count is deterministic from the sample count and the
+        # centering mode (centered: 1 + n // hop)
+        from daft_exprt_tpu.ops.mel import num_frames
+        nb_frames = num_frames(len(wav), hparams.filter_length,
+                               hparams.hop_length, hparams.centered)
 
         float_durs = [[float(r[0]) - sent_begin, float(r[1]) - sent_begin]
                       for r in marker_rows]
@@ -331,18 +286,22 @@ def _mel_energy_batched(wavs: list, hparams):
     for i, w in enumerate(wavs):
         n = len(w)
         batch[i, :n] = w
-        # np.pad 'reflect' right edge: padded sample j = w[n - 2 - j]
+        # np.pad 'reflect' right edge: padded sample j = w[n - 2 - j].
+        # (w[n-2::-1][:m] rather than a stop of n-2-m: for m == n-1 that
+        # stop is -1, which numpy reads as "end" and yields an empty
+        # slice -> broadcast error for sub-window wavs)
         m = min(pad, n - 1)
-        batch[i, n:n + m] = w[n - 2:n - 2 - m:-1]
+        batch[i, n:n + m] = w[n - 2::-1][:m]
     log_mel, energy = mel_and_energy_batch(
         batch, hparams.sampling_rate, n_fft, hop, hparams.n_mel_channels,
         hparams.mel_fmin, hparams.mel_fmax, hparams.min_clipping,
         hparams.centered)
     log_mel = np.asarray(log_mel)
     energy = np.asarray(energy)
+    from daft_exprt_tpu.ops.mel import num_frames
     out = []
     for i, w in enumerate(wavs):
-        t = 1 + len(w) // hop
+        t = num_frames(len(w), n_fft, hop, hparams.centered)
         out.append((log_mel[i, :, :t], energy[i, :t]))
     return out
 
@@ -397,10 +356,12 @@ def _pitch_batched(items: list, hparams):
         min_f0=hparams.min_f0, max_f0=hparams.max_f0,
         uv_weight=hparams.uv_cost)
     f0 = np.asarray(f0)
+    from daft_exprt_tpu.ops.mel import num_frames
     for i, item in enumerate(items):
         frames = extract_pitch_from_frame_f0(f0[i], starts, int(lens[i]),
                                              fs, hparams)
-        nb_frames = 1 + len(item["wav"]) // hparams.hop_length
+        nb_frames = num_frames(len(item["wav"]), hparams.filter_length,
+                               hparams.hop_length, hparams.centered)
         assert len(frames) == nb_frames, item["file_name"]
         item["frames_pitch"] = frames
 

@@ -94,7 +94,10 @@ def num_frames(num_samples: int, n_fft: int, hop_length: int,
     """Number of STFT frames for a signal of ``num_samples`` samples."""
     if center:
         return 1 + num_samples // hop_length
-    return 1 + (num_samples - n_fft) // hop_length
+    # reference: 1 + int((n - n_fft) / hop) — int() truncates toward
+    # zero, so signals shorter than one window still count 1 frame
+    d = num_samples - n_fft
+    return 1 + (d // hop_length if d >= 0 else -((-d) // hop_length))
 
 
 def frame_signal(wav: jnp.ndarray, n_fft: int, hop_length: int,

@@ -349,18 +349,26 @@ class VocoderDataset:
 
 def save_vocoder_checkpoint(ckpt_dir: str, step: int, g_wn, d_params,
                             msd_state, opt_g, opt_d, gen_config: dict,
-                            name: str | None = None):
+                            name: str | None = None,
+                            extra_meta: dict | None = None):
     import orbax.checkpoint as ocp
 
     name = name or f"Vocoder_{step}"
     path = os.path.abspath(os.path.join(ckpt_dir, name))
     tree = {"g_wn": g_wn, "d_params": d_params, "msd_state": msd_state,
             "opt_g": opt_g, "opt_d": opt_d}
+    # host-local numpy: the chief process saves alone (no orbax
+    # multi-host coordination), and replicated multi-host jax.Arrays
+    # cannot be serialized from one process directly
+    tree = jax.tree.map(
+        lambda x: np.asarray(x.addressable_data(0))
+        if hasattr(x, "addressable_data") else np.asarray(x), tree)
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(os.path.join(path, "state"), tree, force=True)
+    meta = {"step": step, "gen_config": gen_config}
+    meta.update(extra_meta or {})
     with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump({"step": step, "gen_config": gen_config}, f, indent=2,
-                  default=float)
+        json.dump(meta, f, indent=2, default=float)
     return path
 
 
@@ -468,9 +476,22 @@ def fine_tune_vocoder(dataset_dir: str, output_dir: str,
                              from_audio=from_audio)
     steps_per_epoch = max(1, len(dataset) // batch_size)
     # resume the official per-epoch ExponentialLR from the fine-tuned
-    # checkpoint's epoch: lr0 * decay^epoch, decaying per epoch onward
-    epoch0 = initial_epoch if initial_epoch is not None else \
-        int(ckpt_meta.get("epoch", 0))
+    # checkpoint's epoch: lr0 * decay^epoch, decaying per epoch onward.
+    # Our own checkpoints record the decay base in meta.json -- a
+    # resumed run must NOT fall back to epoch 0 (the base lr would jump
+    # back up mid-GAN, e.g. ~7x when fine-tuning from an official
+    # do_* checkpoint at epoch ~2000).
+    epoch0 = initial_epoch
+    if epoch0 is None and resume:
+        try:
+            with open(os.path.join(os.path.abspath(resume),
+                                   "meta.json")) as f:
+                epoch0 = json.load(f).get("epoch0")
+        except (OSError, ValueError):
+            epoch0 = None
+    if epoch0 is None:
+        epoch0 = int(ckpt_meta.get("epoch", 0))
+    epoch0 = int(epoch0)
     if epoch0:
         _logger.info(f"resuming lr schedule at epoch {epoch0}: "
                      f"lr = {lr * lr_decay ** epoch0:.3e}")
@@ -514,7 +535,12 @@ def fine_tune_vocoder(dataset_dir: str, output_dir: str,
     os.makedirs(ckpt_dir, exist_ok=True)
     metrics_path = os.path.join(output_dir, "vocoder_metrics.jsonl")
 
-    rng = np.random.default_rng(seed)
+    # per-process seed: under multi-host data parallelism each process
+    # contributes its own rows to the global batch -- identical seeds
+    # would assemble n_proc copies of the same samples (zero data
+    # diversity for the extra compute)
+    rng = np.random.default_rng(seed + jax.process_index())
+    is_chief = jax.process_index() == 0
     batches = prefetch_iterator(dataset.batches(rng, batch_size), depth=3)
     t0 = time.perf_counter()
     last_logged = start_step
@@ -531,11 +557,13 @@ def fine_tune_vocoder(dataset_dir: str, output_dir: str,
             t0 = time.perf_counter()
             last_logged = it
             line = {"step": it, **metrics, "sec_per_step": round(dt, 4)}
-            _logger.info(f"vocoder {line}")
-            with open(metrics_path, "a") as f:
-                f.write(json.dumps(line) + "\n")
+            if is_chief:  # one writer: processes share the output dir
+                _logger.info(f"vocoder {line}")
+                with open(metrics_path, "a") as f:
+                    f.write(json.dumps(line) + "\n")
             last_metrics = line
-        if it % checkpoint_every == 0 or it == steps:
+        if (it % checkpoint_every == 0 or it == steps) and is_chief:
             save_vocoder_checkpoint(ckpt_dir, it, g_wn, d_params,
-                                    msd_state, opt_g, opt_d, gen.cfg)
+                                    msd_state, opt_g, opt_d, gen.cfg,
+                                    extra_meta={"epoch0": epoch0})
     return last_metrics

@@ -98,3 +98,96 @@ def test_extract_energy():
     assert energy.shape == (10,)
     np.testing.assert_allclose(energy, np.linalg.norm(mel, axis=0),
                                rtol=1e-6)
+
+
+def test_symbols_mean_matches_naive_loop(rng_np):
+    """Per-symbol aggregation == the reference's per-marker loop
+    (get_symbols_energy/get_symbols_pitch), INCLUDING the last real
+    phone when trailing zero-duration symbols (EOS/punctuation) sit at
+    the end — a reduceat-based version silently dropped that phone's
+    final frame (round-2 review)."""
+    from daft_exprt_tpu.data.features import symbols_mean
+
+    def naive(vals, durs, voiced_only):
+        out, idx = [], 0
+        for d in durs:
+            seg = vals[idx:idx + d]
+            if voiced_only:
+                seg = seg[seg > 0.0]
+            out.append(float(seg.mean()) if len(seg) else 0.0)
+            idx += d
+        return np.array(out)
+
+    for trial in range(20):
+        n_sym = int(rng_np.integers(2, 12))
+        durs = rng_np.integers(1, 7, size=n_sym)
+        # sprinkle zero-duration symbols, always at least one trailing
+        durs[rng_np.integers(0, n_sym, size=2)] = 0
+        durs = np.append(durs, [0, 0])
+        vals = rng_np.standard_normal(int(durs.sum())) + 1.0
+        vals[rng_np.random(len(vals)) < 0.3] = 0.0  # unvoiced frames
+        for voiced_only in (False, True):
+            got = symbols_mean(vals, durs, voiced_only=voiced_only)
+            np.testing.assert_allclose(
+                got, naive(vals, durs, voiced_only), atol=1e-12)
+
+
+def test_uncentered_batched_path_consistent(rng_np):
+    """centered=False end to end: the batched device mel/energy crops
+    to the uncentered frame count, pitch framing emits the same count,
+    and num_frames truncates toward zero like the reference's int()
+    (round-2 review: the batched path hardcoded the centered count and
+    silently skipped every file under centered=False)."""
+    import copy
+
+    from daft_exprt_tpu.audio.pitch import log_f0_per_mel_frame
+    from daft_exprt_tpu.data.features import _mel_energy_batched
+    from daft_exprt_tpu.ops.mel import num_frames
+
+    hp = HyperParams(verbose=False, training_files="x",
+                     validation_files="x",
+                     output_directory="/tmp/dx_test",
+                     language="english", speakers=["spk"])
+    hp = copy.deepcopy(hp)
+    hp.centered = False
+
+    # trunc-toward-zero: sub-window signals still count 1 frame
+    assert num_frames(882, 1024, 256, center=False) == 1
+    assert num_frames(1024, 1024, 256, center=False) == 1
+    assert num_frames(1024 + 256, 1024, 256, center=False) == 2
+
+    wavs = [rng_np.standard_normal(n).astype(np.float32) * 0.2
+            for n in (33075, 22050)]
+    out = _mel_energy_batched(wavs, hp)
+    for w, (mel, energy) in zip(wavs, out):
+        t = num_frames(len(w), hp.filter_length, hp.hop_length, False)
+        assert mel.shape == (hp.n_mel_channels, t)
+        assert energy.shape == (t,)
+        ref = mel_spectrogram_hifi(w, hp)  # per-utterance host STFT
+        assert ref.shape[1] == t
+        np.testing.assert_allclose(mel, ref, atol=2e-5)
+        # pitch framing agrees with the mel frame count
+        track = np.full(len(w), 220.0)
+        frames = log_f0_per_mel_frame(track, hp.hop_length,
+                                      n_fft=hp.filter_length,
+                                      center=False)
+        assert len(frames) == t
+
+
+def test_batched_reflect_pad_sub_window_wav(rng_np):
+    """Sub-window wavs (n <= n_fft//2 + 1) must not crash the manual
+    reflect pad (a stop index of -1 used to produce an empty slice and
+    a broadcast error)."""
+    from daft_exprt_tpu.data.features import _mel_energy_batched
+
+    hp = HyperParams(verbose=False, training_files="x",
+                     validation_files="x",
+                     output_directory="/tmp/dx_test",
+                     language="english", speakers=["spk"])
+    short = rng_np.standard_normal(513).astype(np.float32)  # pad + 1
+    long = rng_np.standard_normal(4096).astype(np.float32)
+    out = _mel_energy_batched([short, long], hp)
+    mel_s, _ = out[0]
+    assert mel_s.shape[1] == 1 + len(short) // hp.hop_length
+    ref = mel_spectrogram_hifi(short, hp)
+    np.testing.assert_allclose(mel_s, ref, atol=2e-5)

@@ -23,6 +23,8 @@ class HP:
     uv_interval = 0.01
     uv_cost = 0.9
     hop_length = 256
+    filter_length = 1024
+    centered = True
 
 
 FS = 22050

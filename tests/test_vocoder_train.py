@@ -363,3 +363,45 @@ def test_wn_wrap_ups_matches_torch_dim0():
     # regular convs stay per-output-channel
     pre_g = np.asarray(wrapped["conv_pre"]["g"])
     assert pre_g.shape == (1, 1, params["conv_pre"]["w"].shape[2])
+
+
+def test_resume_preserves_lr_decay_base(tmp_path):
+    """A resumed fine-tune keeps the lr-decay epoch base recorded in
+    meta.json: the base lr must NOT jump back to the undecayed value
+    when the run is relaunched without re-passing discriminator_ckpt
+    (round-2 review)."""
+    import json as _json
+
+    data = tmp_path / "data"
+    out = tmp_path / "out"
+    _write_dataset(str(data))
+    common = dict(vocoder_config=TINY_GEN, batch_size=2,
+                  segment_size=256, mel_cfg=MEL_CFG, log_every=2,
+                  mpd_kwargs={"periods": PERIODS,
+                              "channels": P_CHANNELS},
+                  msd_kwargs={"layers": S_LAYERS})
+    fine_tune_vocoder(str(data), str(out), steps=2, checkpoint_every=2,
+                      initial_epoch=100, **common)
+    ckpt = str(out / "vocoder_checkpoints" / "Vocoder_2")
+    with open(os.path.join(ckpt, "meta.json")) as f:
+        assert _json.load(f)["epoch0"] == 100
+
+    # resume WITHOUT initial_epoch: the decay base must come from meta
+    import logging
+    records = []
+    handler = logging.Handler()
+    handler.emit = lambda r: records.append(r.getMessage())
+    logger = logging.getLogger("daft_exprt_tpu.vocoder.train")
+    logger.addHandler(handler)
+    prev_level = logger.level
+    logger.setLevel(logging.INFO)
+    try:
+        fine_tune_vocoder(str(data), str(out), steps=4,
+                          checkpoint_every=4, resume=ckpt, **common)
+    finally:
+        logger.removeHandler(handler)
+        logger.setLevel(prev_level)
+    assert any("epoch 100" in m for m in records), records
+    ckpt2 = str(out / "vocoder_checkpoints" / "Vocoder_4")
+    with open(os.path.join(ckpt2, "meta.json")) as f:
+        assert _json.load(f)["epoch0"] == 100
