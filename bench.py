@@ -22,9 +22,9 @@ import jax
 
 # persistent compilation cache: first-ever compile through a remote
 # tunnel can take minutes; subsequent bench runs hit this cache.
-os.makedirs("/tmp/daft_exprt_jax_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/daft_exprt_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+from daft_exprt_tpu.utils import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
 
 import numpy as np  # noqa: E402
 
@@ -43,11 +43,19 @@ _AOT = AotCache(os.environ.get("DAFT_AOT_CACHE")
                 or "/tmp/daft_exprt_aot_cache")
 
 # fast-keying salt contract (aot.py): this file's jitted closures bake
-# constants (pitch stats, model config) -- salt with our own source so
-# editing bench.py invalidates its cached executables
-with open(__file__, "rb") as _f:
-    import hashlib as _hashlib
-    _SALT = _hashlib.sha256(_f.read()).hexdigest()
+# constants (pitch stats, model config) -- salt with our own source AND
+# __graft_entry__.py's (its _flagship_hparams values are baked into the
+# graphs as constants; editing e.g. a head count without a shape change
+# must not serve the stale pre-edit executable)
+import hashlib as _hashlib
+
+_h = _hashlib.sha256()
+for _src in (__file__,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "__graft_entry__.py")):
+    with open(_src, "rb") as _f:
+        _h.update(_f.read())
+_SALT = _h.hexdigest()
 
 
 def _jit(fn, label: str):

@@ -134,6 +134,50 @@ def reconstruct_signal_griffin_lim(magnitude_spectrogram: np.ndarray,
     return np.asarray(wav)
 
 
+def griffin_lim_reconstruction_batch(log_mels: list, hparams,
+                                     iterations: int = 30) -> list:
+    """Batched mel -> waveform previews: ONE device dispatch for N mels.
+
+    Same per-utterance semantics as
+    :func:`griffin_lim_reconstruction_from_mel_spec` (drop the two
+    centered-STFT tail frames, peak-normalize), but NNLS runs once over
+    the concatenated frame axes (columns are independent) and the
+    phase-reconstruction loop runs vmapped over rows padded to a common
+    bucket — N sequential dispatches collapse into two.
+    """
+    if not log_mels:
+        return []
+    keep = [(i, m) for i, m in enumerate(log_mels)
+            if m.ndim == 2 and m.shape[1] > 2]
+    wavs: list = [np.array([])] * len(log_mels)
+    if not keep:
+        return wavs
+    floor = float(np.log(hparams.min_clipping))
+    bucket = max(int(getattr(hparams, "frame_bucket", 1)), 1)
+    effs = [m.shape[1] - 2 for _, m in keep]
+    t_pad = -(-max(effs) // bucket) * bucket
+    padded = np.full((len(keep), log_mels[keep[0][0]].shape[0], t_pad),
+                     floor, np.float32)
+    for row, (_, m) in enumerate(keep):
+        padded[row, :, :m.shape[1] - 2] = m[:, :-2]
+    # NNLS is per-column: one call over the concatenated frame axis
+    linear = mel_to_linear(
+        padded.transpose(1, 0, 2).reshape(padded.shape[1], -1), hparams)
+    linear = linear.reshape(linear.shape[0], len(keep), t_pad)
+    n_fft = (linear.shape[0] - 1) * 2
+    mags = jnp.asarray(linear.transpose(1, 2, 0), jnp.float32)
+    keys = jnp.broadcast_to(jax.random.PRNGKey(0), (len(keep), 2))
+    batch_wavs = np.asarray(jax.vmap(
+        lambda m, k: _griffin_lim(m, k, n_fft, hparams.hop_length,
+                                  iterations))(mags, keys))
+    for row, (i, _) in enumerate(keep):
+        wav = batch_wavs[row, :(effs[row] - 1) * hparams.hop_length
+                         + hparams.filter_length]
+        peak = np.max(np.abs(wav))
+        wavs[i] = wav / peak if peak > 0 else wav
+    return wavs
+
+
 def griffin_lim_reconstruction_from_mel_spec(log_mel_spec: np.ndarray,
                                              hparams,
                                              iterations: int = 30
@@ -148,18 +192,23 @@ def griffin_lim_reconstruction_from_mel_spec(log_mel_spec: np.ndarray,
     """
     if log_mel_spec.ndim != 2 or log_mel_spec.shape[1] <= 2:
         return np.array([])
-    t_true = log_mel_spec.shape[1]
+    # drop the two real tail frames BEFORE bucket padding: padding
+    # first and then slicing [:-2] would remove two silence pad frames
+    # while the centered-STFT right-padding frames this function exists
+    # to drop still overlap-add into the tail
+    log_mel_spec = log_mel_spec[:, :-2]
+    t_eff = log_mel_spec.shape[1]
     bucket = max(int(getattr(hparams, "frame_bucket", 1)), 1)
-    t_pad = -(-t_true // bucket) * bucket
-    if t_pad != t_true:
+    t_pad = -(-t_eff // bucket) * bucket
+    if t_pad != t_eff:
         log_mel_spec = np.pad(
-            log_mel_spec, ((0, 0), (0, t_pad - t_true)),
+            log_mel_spec, ((0, 0), (0, t_pad - t_eff)),
             constant_values=float(np.log(hparams.min_clipping)))
     linear = mel_to_linear(log_mel_spec, hparams)
-    wav = reconstruct_signal_griffin_lim(linear[:, :-2], hparams.hop_length,
+    wav = reconstruct_signal_griffin_lim(linear, hparams.hop_length,
                                          iterations=iterations)
-    # crop to the unpadded reconstruction length: (T - 2) frames of hop
-    # plus the final analysis window
-    wav = wav[:(t_true - 2) * hparams.hop_length + hparams.filter_length]
+    # crop to the unpadded reconstruction length: t_eff frames span
+    # (t_eff - 1) hops plus the final analysis window
+    wav = wav[:(t_eff - 1) * hparams.hop_length + hparams.filter_length]
     peak = np.max(np.abs(wav))
     return wav / peak if peak > 0 else wav

@@ -236,12 +236,9 @@ def extract_pitch(wav: np.ndarray, fs: int, hparams,
     if use_native is None:
         use_native = False
     if use_native:
-        # the C++ tracker consumes int16 PCM: quantize identically so
-        # native and python paths see the same signal
-        pcm = np.clip(np.asarray(wav, np.float64) * 32768.0,
-                      -32768, 32767).astype(np.int16)
+        # sample_synchronous_f0_native quantizes to int16 PCM itself
         track = sample_synchronous_f0_native(
-            pcm.astype(np.float64) / 32768.0, fs, hparams)
+            np.asarray(wav, np.float64), fs, hparams)
         track = track.astype(np.float64)
     else:
         track = sample_synchronous_f0(wav, fs, hparams).astype(np.float64)

@@ -59,7 +59,10 @@ def number_to_words(n: int) -> str:
     for scale_value, scale_name in _SCALES:
         if n >= scale_value:
             count, n = divmod(n, scale_value)
-            parts.append(f"{_three_digits(count)} {scale_name}")
+            # recurse: the trillion chunk exceeds 999 for n >= 1e15
+            # (e.g. 16-digit account numbers) -- _three_digits alone
+            # would index past its tables
+            parts.append(f"{number_to_words(count)} {scale_name}")
     if n > 0:
         parts.append(_three_digits(n))
     return ", ".join(parts)

@@ -19,6 +19,28 @@ from functools import partial
 _logger = logging.getLogger(__name__)
 
 
+def enable_compile_cache(min_compile_secs: float = 5.0) -> str:
+    """Point JAX's persistent compilation cache at the shared dir.
+
+    One policy for every entry point (scripts, bench, tools, driver):
+    ``$DAFT_EXPRT_COMPILE_CACHE`` overrides the default
+    ``/tmp/daft_exprt_jax_cache``. NOT used for CPU-backend runs
+    (tests, dry runs): XLA:CPU AOT entries embed machine-feature
+    pseudo-flags that mismatch on reload (see tests/conftest.py).
+    Returns the cache directory.
+    """
+    import os
+
+    import jax
+    cache = os.environ.get("DAFT_EXPRT_COMPILE_CACHE",
+                           "/tmp/daft_exprt_jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      min_compile_secs)
+    return cache
+
+
 def chunker(seq, size: int):
     """Yield successive chunks of ``size`` items from ``seq``."""
     return (seq[pos:pos + size] for pos in range(0, len(seq), size))

@@ -48,12 +48,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def _enable_compile_cache():
-    import jax
-    cache = os.environ.get("DAFT_EXPRT_COMPILE_CACHE",
-                           "/tmp/daft_exprt_jax_cache")
-    os.makedirs(cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    from daft_exprt_tpu.utils import enable_compile_cache
+    enable_compile_cache()
 
 
 _logger = logging.getLogger("daft_exprt_tpu.serve")
@@ -213,6 +209,11 @@ class SynthesisService:
             # one window instead of after the whole utterance
             self.streamer = StreamingVocoder(gen, vparams)
 
+        # max device dispatch width: bounds the dynamic batcher AND the
+        # paragraph path (an unbounded paragraph would otherwise compile
+        # an arbitrarily wide never-warmed batch shape inside the
+        # serving lock and could exhaust device memory)
+        self.max_batch = max(int(max_batch), 1)
         # dynamic micro-batching: collate concurrent requests into one
         # dispatch (off by default; single-request latency first)
         self.batcher = DynamicBatcher(self, batch_window_ms, max_batch) \
@@ -352,6 +353,16 @@ class SynthesisService:
         """
         import numpy as np
 
+        if len(jobs) > self.max_batch:
+            # long paragraphs: bounded dispatch width -- every compiled
+            # batch shape stays within the warmed power-of-two set
+            results = []
+            for i in range(0, len(jobs), self.max_batch):
+                results.extend(self.run_jobs(
+                    jobs[i:i + self.max_batch], pitch_transform,
+                    record=record))
+            return results
+
         inputs, film_keys = self._collate_jobs(jobs, pitch_transform)
 
         if self.vocoder is not None:
@@ -378,15 +389,20 @@ class SynthesisService:
                 packed=True)
         mel_preds, out_lens, overflow = decoder_preds
         from daft_exprt_tpu.audio.griffin_lim import \
-            griffin_lim_reconstruction_from_mel_spec
+            griffin_lim_reconstruction_batch
+        mel_preds = np.asarray(mel_preds)
+        mels = [mel_preds[row, :, :int(out_lens[row])]
+                for row in range(len(jobs))]
+        # one batched NNLS + Griffin-Lim dispatch for the whole batch
+        # (per-row reconstruction paid N sequential device round trips)
+        wavs = griffin_lim_reconstruction_batch(mels, self.hp)
         results = []
         for row, job in enumerate(jobs):
             truncated = bool(overflow[row])
             if truncated:
                 self._warn_truncated()
-            mel = np.asarray(mel_preds)[row, :, :int(out_lens[row])]
-            wav = griffin_lim_reconstruction_from_mel_spec(mel, self.hp)
-            results.append((np.asarray(wav, np.float32), mel.shape[1],
+            results.append((np.asarray(wavs[row], np.float32),
+                            mels[row].shape[1],
                             time.perf_counter() - job["t0"], truncated))
         if record:
             self.record_metrics(len(jobs), results)
@@ -416,18 +432,26 @@ class SynthesisService:
             raise ValueError("streaming requires --vocoder")
 
         B = len(jobs)
-        inputs, film_keys = self._collate_jobs(
-            jobs, jobs[0]["pitch_transform"])
-        with self.lock:
-            _, dec, _ = self.engine.run_cached(
-                inputs, jobs[0]["pitch_transform"], film_keys,
-                want_weights=False, packed=True)
-        mel, out_lens, overflow = dec
-        frames = [int(out_lens[i]) for i in range(B)]
-        truncated = any(bool(overflow[i]) for i in range(B))
+        pt = jobs[0]["pitch_transform"]
+        mel_rows, frames, truncated = [], [], False
+        # chunked acoustic dispatches: same bounded batch shapes as
+        # run_jobs (one dispatch when the paragraph fits)
+        for i in range(0, B, self.max_batch):
+            chunk = jobs[i:i + self.max_batch]
+            inputs, film_keys = self._collate_jobs(chunk, pt)
+            with self.lock:
+                _, dec, _ = self.engine.run_cached(
+                    inputs, pt, film_keys, want_weights=False,
+                    packed=True)
+            mel, out_lens, overflow = dec
+            mel = np.asarray(mel)
+            for r in range(len(chunk)):
+                mel_rows.append(mel[r])
+                frames.append(int(out_lens[r]))
+                truncated = truncated or bool(overflow[r])
         if truncated:
             self._warn_truncated()
-        mel_np = np.asarray(mel)
+        mel_np = mel_rows
         up = self.streamer.up
         gap = np.zeros(int(gap_ms / 1e3 * self.hp.sampling_rate),
                        np.float32)
@@ -562,10 +586,11 @@ class SynthesisService:
         from /stats.
         """
         t0 = time.perf_counter()
+        # every power-of-two occupancy up to max_batch: the dynamic
+        # batcher AND the paragraph path both produce these shapes
         batch_sizes = [1]
-        if self.batcher is not None:
-            while batch_sizes[-1] < self.batcher.max_batch:
-                batch_sizes.append(batch_sizes[-1] * 2)
+        while batch_sizes[-1] < self.max_batch:
+            batch_sizes.append(batch_sizes[-1] * 2)
         self._warming = True
         try:
             for mult in range(1, self.warmup_symbol_buckets + 1):

@@ -32,12 +32,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 
 def _enable_compile_cache():
-    import jax
-    cache = os.environ.get("DAFT_EXPRT_COMPILE_CACHE",
-                           "/tmp/daft_exprt_jax_cache")
-    os.makedirs(cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    from daft_exprt_tpu.utils import enable_compile_cache
+    enable_compile_cache()
 
 
 _enable_compile_cache()

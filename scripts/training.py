@@ -27,12 +27,8 @@ if os.environ.get("DAFT_EXPRT_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["DAFT_EXPRT_PLATFORM"])
 
 def _enable_compile_cache():
-    import jax
-    cache = os.environ.get("DAFT_EXPRT_COMPILE_CACHE",
-                           "/tmp/daft_exprt_jax_cache")
-    os.makedirs(cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    from daft_exprt_tpu.utils import enable_compile_cache
+    enable_compile_cache()
 
 _enable_compile_cache()
 

@@ -83,3 +83,60 @@ def test_wav_io_roundtrip(tmp_path):
     resampled, sr2 = load_wav(path, target_sr=16000)
     assert sr2 == 16000
     assert abs(len(resampled) - len(wav) * 16000 / FS) < 2
+
+
+def test_griffin_lim_bucket_padding_drops_real_tail_frames():
+    """Bucket padding must not change WHICH frames are dropped: the two
+    real centered-STFT tail frames go, not two silence pad frames
+    (round-2 review: pad-then-[:-2] synthesized the real tail into the
+    crop region)."""
+    import copy
+
+    hp = tiny_hparams()
+    wav = _harmonic_wav(1.0)
+    log_mel = mel_spectrogram_hifi(wav, hp)
+    assert (log_mel.shape[1] - 2) % 32 != 0  # padding must occur
+
+    hp_pad = copy.deepcopy(hp)
+    hp_pad.frame_bucket = 32
+    hp_nopad = copy.deepcopy(hp)
+    hp_nopad.frame_bucket = 1
+
+    rec_pad = griffin_lim_reconstruction_from_mel_spec(
+        log_mel, hp_pad, iterations=10)
+    rec_nopad = griffin_lim_reconstruction_from_mel_spec(
+        log_mel, hp_nopad, iterations=10)
+    assert rec_pad.shape == rec_nopad.shape
+    # near-silent pad frames couple only through the final window's
+    # overlap-add; the waveforms must agree closely everywhere
+    assert np.max(np.abs(rec_pad - rec_nopad)) < 5e-2
+    np.testing.assert_allclose(rec_pad[:-hp.filter_length],
+                               rec_nopad[:-hp.filter_length], atol=5e-3)
+
+
+def test_griffin_lim_batch_matches_singles():
+    """One batched NNLS+GL dispatch == per-utterance reconstructions
+    (the serving fallback path batches N sentences into two device
+    calls)."""
+    from daft_exprt_tpu.audio.griffin_lim import \
+        griffin_lim_reconstruction_batch
+
+    hp = tiny_hparams()
+    mels = [mel_spectrogram_hifi(_harmonic_wav(d, f), hp)
+            for d, f in ((0.7, 220.0), (1.0, 180.0))]
+    batch = griffin_lim_reconstruction_batch(mels, hp, iterations=10)
+    for mel, wav_b in zip(mels, batch):
+        wav_s = griffin_lim_reconstruction_from_mel_spec(
+            mel, hp, iterations=10)
+        assert wav_b.shape == wav_s.shape
+        # rows padded to the common bucket couple with the silent pad
+        # only through the final window's overlap-add
+        np.testing.assert_allclose(
+            wav_b[:-hp.filter_length], wav_s[:-hp.filter_length],
+            atol=5e-3)
+        assert np.max(np.abs(wav_b - wav_s)) < 5e-2
+    # empty/degenerate rows keep their slots
+    out = griffin_lim_reconstruction_batch(
+        [mels[0], np.zeros((hp.n_mel_channels, 2), np.float32)], hp,
+        iterations=5)
+    assert out[0].size > 0 and out[1].size == 0

@@ -48,7 +48,10 @@ def server(tmp_path_factory):
     save_wav(os.path.join(style_dir, "calm.wav"),
              (0.5 * np.sin(phase)).astype(np.float32), hp.sampling_rate)
 
-    service = srv.SynthesisService(ckpt_dir, style_dir)
+    # max_batch=2: warmup now covers every power-of-two occupancy up
+    # to max_batch, and compiling sizes 1..8 on CPU would dominate
+    # fixture time; a 3-sentence paragraph still exercises chunking
+    service = srv.SynthesisService(ckpt_dir, style_dir, max_batch=2)
     # warm only "add": every test here uses it, and compiling the
     # multiply graphs would triple fixture time; the default transform
     # coverage is asserted separately (test_warmup_covers_multiply)

@@ -81,3 +81,17 @@ def test_text_cleaner_language_gate():
     assert text_cleaner("Hello World", "english") == "hello world"
     # unknown languages pass through
     assert text_cleaner("Bonjour", "french") == "Bonjour"
+
+
+def test_huge_numbers_do_not_crash():
+    """16-digit digit runs (card/account numbers) must normalize, not
+    IndexError (round-2 review: scale chunks above 999 overflowed the
+    ones table)."""
+    from daft_exprt_tpu.text.numbers import (normalize_numbers,
+                                             number_to_words)
+
+    out = normalize_numbers("card 5105105105105100 ok")
+    assert "5105105105105100" not in out and "trillion" in out
+    assert number_to_words(5105 * 10 ** 12) \
+        == "five thousand, one hundred five trillion"
+    assert number_to_words(10 ** 18) == "one million trillion"

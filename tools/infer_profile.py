@@ -15,9 +15,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 import jax
 
-os.makedirs("/tmp/daft_exprt_jax_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/daft_exprt_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+from daft_exprt_tpu.utils import enable_compile_cache
+enable_compile_cache()
 
 import jax.numpy as jnp  # noqa: E402
 

@@ -19,9 +19,9 @@ import time
 _ROOT = os.path.dirname(os.path.dirname(os.path.realpath(__file__)))
 sys.path.insert(0, _ROOT)
 sys.path.insert(0, os.path.join(_ROOT, "tests"))
-os.makedirs("/tmp/daft_exprt_jax_cache", exist_ok=True)
 import jax
-jax.config.update("jax_compilation_cache_dir", "/tmp/daft_exprt_jax_cache")
+from daft_exprt_tpu.utils import enable_compile_cache
+enable_compile_cache()
 import numpy as np
 from helpers import tiny_hparams
 from test_pipeline import _build_corpus
