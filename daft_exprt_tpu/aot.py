@@ -57,7 +57,15 @@ def default_cache_dir() -> str | None:
 
 def backend_fingerprint() -> str:
     """String identifying the software + device stack an executable is
-    valid for. Conservative: any mismatch is a cache miss."""
+    valid for. Conservative: any mismatch is a cache miss.
+
+    Includes the compiler-relevant environment flags: an executable
+    compiled under different ``XLA_FLAGS``/``LIBTPU_INIT_ARGS`` (e.g. a
+    changed memory fraction or optimization flag) must not be served to
+    a process running with new ones.
+    """
+    import os
+
     import jaxlib
 
     devices = jax.devices()
@@ -65,6 +73,9 @@ def backend_fingerprint() -> str:
         jax.__version__, getattr(jaxlib, "__version__", "?"),
         jax.default_backend(), devices[0].device_kind,
         str(len(devices)), str(jax.process_count()),
+        os.environ.get("XLA_FLAGS", ""),
+        os.environ.get("LIBTPU_INIT_ARGS", ""),
+        os.environ.get("TPU_LIBRARY_PATH", ""),
     ])
 
 

@@ -66,8 +66,15 @@ class DaftExprt:
                                        for b, _ in self.module_params.values())
         self.pe_cfg, self.ph_cfg, self.pp_cfg, self.fd_cfg = pe, ph, pp, fd
         max_len = max(5000, hparams.max_frames + 1)
+        # phoneme encoder + frame decoder run at embed_dim; the prosody
+        # encoder has its own hidden dim (reference: each module owns a
+        # PositionalEncoding, model.py:331/483/680) — a single table
+        # would shape-error when the two dims differ
         self._pos_table = jnp.asarray(
             positional_encoding_table(self.embed_dim, max_len))
+        pe_dim = pe["hidden_embed_dim"]
+        self._pos_table_pe = self._pos_table if pe_dim == self.embed_dim \
+            else jnp.asarray(positional_encoding_table(pe_dim, max_len))
 
     # ==================================================================
     # Parameter initialization
@@ -222,7 +229,7 @@ class DaftExprt:
         pe = self.pe_cfg
         hp = self.hp
         T = mel_specs.shape[-1]
-        pos = self._pos_table[:T]
+        pos = self._pos_table_pe[:T]
 
         energy = nn.conv1d_apply(params["energy_embedding"],
                                  frames_energy[..., None], self.dtype,

@@ -66,16 +66,24 @@ def _batch_to_targets(batch):
     return tuple(batch[k] for k in TARGET_KEYS)
 
 
-def make_train_step(model, hp, mesh=None, donate=True):
+def make_train_step(model, hp, mesh=None, donate=True, tx=None):
     """Build the jitted train step.
 
     Batch arrays are shaped (accumulation_steps, micro_batch, ...); the
     micro-batch axis is sharded over the mesh 'data' axis.
 
+    :param tx: the optax optimizer whose ``init`` produced the
+        opt_state this step will consume; pass the caller's instance so
+        the two cannot structurally diverge (default: a fresh
+        ``make_optimizer(hp)`` — fine because optax states are pure
+        pytrees of the chain's structure).
     Returns step(params, opt_state, batch, rng, iteration) ->
     (params, opt_state, metrics).
     """
-    tx, schedule = make_optimizer(hp)
+    if tx is None:
+        tx, schedule = make_optimizer(hp)
+    else:
+        schedule = make_lr_schedule(hp)  # pure config, for metrics
     accum = hp.accumulation_steps
     if mesh is not None:
         dp = mesh.devices.size

@@ -57,7 +57,8 @@ class Trainer:
         self.model = DaftExprt(hparams)
         self.tx, self.schedule = make_optimizer(hparams)
         self.train_step = make_train_step(self.model, hparams,
-                                          mesh=self.mesh, donate=True)
+                                          mesh=self.mesh, donate=True,
+                                          tx=self.tx)
         self.eval_step = make_eval_step(self.model, hparams, mesh=self.mesh)
         self.is_chief = jax.process_index() == 0
         self.iteration = 0
@@ -107,6 +108,21 @@ class Trainer:
             opt_state_template=opt_state, hparams=self.hp)
         if restored_opt is not None:
             opt_state = restored_opt
+        else:
+            # reference parity (train.py:121-128): when the optimizer
+            # state cannot be restored (params-only/converted
+            # checkpoint, optimizer change) the recreated optimizer
+            # still continues the LR schedule from the checkpoint
+            # iteration — a count of 0 would silently re-run the whole
+            # warmup and then decay from the wrong base (~3x LR drift)
+            import optax
+            opt_state = optax.tree_utils.tree_set(
+                opt_state,
+                count=jnp.asarray(int(meta["iteration"]), jnp.int32))
+            _logger.warning(
+                "optimizer state not restored; fast-forwarded the LR "
+                f"schedule to iteration {int(meta['iteration'])} "
+                "(Adam moments restart)")
         self.iteration = int(meta["iteration"])
         self.best_val_loss = float(meta.get("best_val_loss", float("inf")))
         _logger.info(f"Resumed from {ckpt_path} at iteration "
@@ -310,6 +326,12 @@ class Trainer:
                             name="DaftExprt_best")
                         if self.is_chief:
                             _logger.info("new best model saved")
+                            if benchmark_hook is not None:
+                                # reference parity (train.py:449-453):
+                                # every new best model gets an audio
+                                # snapshot, not only periodic ckpts
+                                benchmark_hook(self._host_local(params),
+                                               self.iteration, out_dir)
 
                 if self.iteration % hp.iters_per_checkpoint == 0:
                     path = saver.save(

@@ -79,3 +79,37 @@ def test_async_matches_sync_layout(tmp_path, tiny_state):
     ps, _, _ = load_checkpoint(str(tmp_path / "sync"))
     pa, _, _ = load_checkpoint(str(tmp_path / "async"))
     _assert_tree_equal(ps, pa)
+
+
+def test_resume_without_opt_state_fast_forwards_lr(tmp_path):
+    """Params-only resume (converted checkpoint / optimizer change)
+    must continue the LR schedule from the checkpoint iteration, not
+    restart warmup from optax count 0 (reference train.py:121-128
+    recreates the optimizer but keeps lr(iteration); round-2 review)."""
+    import shutil
+
+    import jax
+    import optax
+
+    from daft_exprt_tpu.models.daft_exprt import DaftExprt
+    from daft_exprt_tpu.training.trainer import Trainer
+
+    hp = tiny_hparams()
+    hp.dp_size = 1
+    trainer = Trainer(hp, use_mesh=False)
+    model = DaftExprt(hp)
+    params = model.init_params(jax.random.PRNGKey(0))
+    opt_state = trainer.tx.init(params)
+    save_checkpoint(str(tmp_path), 12345, params, opt_state, hp, 1.0,
+                    name="ckpt")
+    # simulate an unrestorable optimizer state
+    shutil.rmtree(str(tmp_path / "ckpt" / "opt_state"))
+
+    fresh_opt = trainer.tx.init(params)
+    _, resumed_opt = trainer.resume(str(tmp_path / "ckpt"), params,
+                                    fresh_opt)
+    counts = {int(np.asarray(leaf))
+              for path, leaf in optax.tree_utils.tree_get_all_with_path(
+                  resumed_opt, "count")}
+    assert counts == {12345}, counts
+    assert trainer.iteration == 12345

@@ -232,3 +232,21 @@ def test_inference_bf16_close_to_f32(setup):
     # boundaries occasionally; most entries must still agree within 1
     assert diff.max() <= 2, diff
     assert (diff >= 2).mean() < 0.1, diff
+
+
+def test_distinct_prosody_encoder_dim():
+    """A prosody-encoder hidden dim different from the phoneme
+    encoder's must work (each module owns its positional table in the
+    reference, model.py:331/483/680; a single shared table
+    shape-errored — round-2 review)."""
+    hp = tiny_hparams(prosody_encoder={
+        "nb_blocks": 2, "hidden_embed_dim": 32, "attn_nb_heads": 4,
+        "attn_dropout": 0.1, "conv_kernel": 3, "conv_channels": 24,
+        "conv_dropout": 0.1})
+    model = DaftExprt(hp)
+    params = model.init_params(jax.random.PRNGKey(0))
+    batch = synthetic_batch(hp)
+    outputs = model.forward(params, _inputs(batch),
+                            jax.random.PRNGKey(1), train=False)
+    mel = np.asarray(outputs[3][0])
+    assert np.isfinite(mel).all()
