@@ -81,13 +81,16 @@ class DaftExprt:
     # ==================================================================
     def init_params(self, rng):
         hp = self.hp
-        keys = jax.random.split(rng, 8)
+        # Host-side numpy sampling (nn.HostInitRNG): eager jax.random init
+        # costs one tiny XLA compile per (op, shape) -- ~26 s of pure
+        # compile time per process even at test scale.
+        keys = nn.rng_split(nn.as_init_rng(rng), 8)
         E = self.embed_dim
         pe = self.pe_cfg
 
         # ---- prosody encoder ----
         # 5 prenet/embed keys + one per block + 4 head/embedding keys
-        kk = jax.random.split(keys[0], 9 + pe["nb_blocks"])
+        kk = nn.rng_split(keys[0], 9 + pe["nb_blocks"])
         pe_dim = pe["hidden_embed_dim"]
         prenet = {
             "conv1": nn.conv1d_init(kk[0], hp.n_mel_channels,
@@ -126,7 +129,7 @@ class DaftExprt:
                 self.nb_post_multipliers)
 
         # ---- speaker classifier ----
-        kk = jax.random.split(keys[1], 3)
+        kk = nn.rng_split(keys[1], 3)
         speaker_classifier = {
             "fc1": nn.linear_init(kk[0], pe_dim, pe_dim, "relu"),
             "fc2": nn.linear_init(kk[1], pe_dim, pe_dim, "relu"),
@@ -135,7 +138,7 @@ class DaftExprt:
 
         # ---- phoneme encoder ----
         ph = self.ph_cfg
-        kk = jax.random.split(keys[2], 1 + ph["nb_blocks"])
+        kk = nn.rng_split(keys[2], 1 + ph["nb_blocks"])
         phoneme_encoder = {
             "symbols_embedding": nn.embedding_init(kk[0], hp.n_symbols, E),
             "blocks": [
@@ -147,7 +150,7 @@ class DaftExprt:
 
         # ---- local prosody predictor ----
         pp = self.pp_cfg
-        kk = jax.random.split(keys[3], 2 * pp["nb_blocks"] + 1)
+        kk = nn.rng_split(keys[3], 2 * pp["nb_blocks"] + 1)
         pp_blocks = []
         for i in range(pp["nb_blocks"]):
             in_ch = E if i == 0 else pp["conv_channels"]
@@ -168,7 +171,7 @@ class DaftExprt:
 
         # ---- gaussian upsampling ----
         gu_kernel = hp.gaussian_upsampling_module["conv_kernel"]
-        kk = jax.random.split(keys[4], 4)
+        kk = nn.rng_split(keys[4], 4)
         gaussian_upsampling = {
             "duration_projection": nn.conv1d_init(kk[0], 1, E, gu_kernel),
             "energy_projection": nn.conv1d_init(kk[1], 1, E, gu_kernel),
@@ -178,7 +181,7 @@ class DaftExprt:
 
         # ---- frame decoder ----
         fd = self.fd_cfg
-        kk = jax.random.split(keys[5], 1 + fd["nb_blocks"])
+        kk = nn.rng_split(keys[5], 1 + fd["nb_blocks"])
         frame_decoder = {
             "blocks": [
                 nn.fft_block_init(kk[i], E, fd["attn_nb_heads"],

@@ -37,15 +37,76 @@ from daft_exprt_tpu.ops.fft_block import fused_fft_block, \
 _GAINS = {"linear": 1.0, "relu": float(np.sqrt(2.0)), "sigmoid": 1.0}
 
 
+class HostInitRNG:
+    """Host-side init RNG: numpy Philox streams behind the subset of the
+    ``jax.random`` key API the ``*_init`` functions use.
+
+    Parameter init is a one-time host job, but running it through eager
+    ``jax.random`` ops costs one tiny XLA compile per (op, shape) —
+    measured 26 s of pure compile time for even the test-sized model on
+    CPU (the arrays themselves take ~0.1 s). Sampling host-side is
+    deterministic in the key (SeedSequence spawning mirrors key
+    splitting), identical across processes, and compile-free. Runtime
+    randomness (dropout, attention seeds) stays on ``jax.random``.
+    """
+
+    def __init__(self, seedseq: np.random.SeedSequence):
+        self._ss = seedseq
+
+    @classmethod
+    def from_key(cls, key) -> "HostInitRNG":
+        try:  # typed key array (new-style)
+            data = np.asarray(jax.random.key_data(key))
+        except Exception:  # legacy uint32 key array
+            data = np.asarray(key)
+        return cls(np.random.SeedSequence([int(x) for x in data.ravel()]))
+
+    def split(self, n: int = 2):
+        return [HostInitRNG(s) for s in self._ss.spawn(n)]
+
+    def uniform(self, shape, lo, hi):
+        gen = np.random.Generator(np.random.Philox(self._ss))
+        return (gen.random(shape, np.float32) * (hi - lo) + lo).astype(
+            np.float32)
+
+    def normal(self, shape):
+        gen = np.random.Generator(np.random.Philox(self._ss))
+        return gen.standard_normal(shape, np.float32)
+
+
+def as_init_rng(key):
+    """Convert a jax PRNG key (or pass through a HostInitRNG) for use by
+    the host-side ``*_init`` functions. Idempotent."""
+    return key if isinstance(key, HostInitRNG) else HostInitRNG.from_key(key)
+
+
+def rng_split(rng, n: int = 2):
+    if isinstance(rng, HostInitRNG):
+        return rng.split(n)
+    return jax.random.split(rng, n)
+
+
+def rng_uniform(rng, shape, lo, hi):
+    if isinstance(rng, HostInitRNG):
+        return jnp.asarray(rng.uniform(shape, lo, hi))
+    return jax.random.uniform(rng, shape, jnp.float32, lo, hi)
+
+
+def rng_normal(rng, shape):
+    if isinstance(rng, HostInitRNG):
+        return jnp.asarray(rng.normal(shape))
+    return jax.random.normal(rng, shape, jnp.float32)
+
+
 def xavier_uniform(rng, shape, fan_in, fan_out, gain="linear"):
     g = _GAINS[gain] if isinstance(gain, str) else float(gain)
     limit = g * np.sqrt(6.0 / (fan_in + fan_out))
-    return jax.random.uniform(rng, shape, jnp.float32, -limit, limit)
+    return rng_uniform(rng, shape, -limit, limit)
 
 
 def _bias_uniform(rng, shape, fan_in):
     bound = 1.0 / np.sqrt(fan_in) if fan_in > 0 else 0.0
-    return jax.random.uniform(rng, shape, jnp.float32, -bound, bound)
+    return rng_uniform(rng, shape, -bound, bound)
 
 
 # ----------------------------------------------------------------------
@@ -63,7 +124,7 @@ def dropout(rng, x, rate: float, deterministic: bool):
 # Linear
 # ----------------------------------------------------------------------
 def linear_init(rng, in_dim, out_dim, gain="linear", bias=True):
-    k_w, k_b = jax.random.split(rng)
+    k_w, k_b = rng_split(rng)
     params = {"w": xavier_uniform(k_w, (in_dim, out_dim), in_dim, out_dim,
                                   gain)}
     if bias:
@@ -83,7 +144,7 @@ def linear_apply(params, x, dtype=jnp.float32):
 # Conv1D (channel-last, SAME zero padding, stride 1)
 # ----------------------------------------------------------------------
 def conv1d_init(rng, in_ch, out_ch, kernel, gain="linear", bias=True):
-    k_w, k_b = jax.random.split(rng)
+    k_w, k_b = rng_split(rng)
     fan_in, fan_out = in_ch * kernel, out_ch * kernel
     params = {"w": xavier_uniform(k_w, (kernel, in_ch, out_ch), fan_in,
                                   fan_out, gain)}
@@ -142,7 +203,7 @@ def conv2d_init(rng, in_ch, out_ch, kernel, gain="linear", bias=True):
     (model.py:95-116), which is defined there but never used; provided
     so the module inventory is complete. w: (kh, kw, in, out)."""
     kh, kw = (kernel, kernel) if isinstance(kernel, int) else kernel
-    k_w, k_b = jax.random.split(rng)
+    k_w, k_b = rng_split(rng)
     fan_in, fan_out = in_ch * kh * kw, out_ch * kh * kw
     params = {"w": xavier_uniform(k_w, (kh, kw, in_ch, out_ch), fan_in,
                                   fan_out, gain)}
@@ -199,7 +260,7 @@ def embedding_apply(params, ids):
 # Multi-head self-attention block (attention + dropout + residual + LN)
 # ----------------------------------------------------------------------
 def mha_init(rng, embed_dim, num_heads):
-    ks = jax.random.split(rng, 6)
+    ks = rng_split(rng, 6)
     # torch nn.MultiheadAttention: packed in_proj is xavier_uniform over
     # the (3E, E) matrix; out_proj is a Linear with kaiming-default init.
     # We init q/k/v with the packed-matrix fan (fan_in=E, fan_out=3E).
@@ -211,8 +272,8 @@ def mha_init(rng, embed_dim, num_heads):
         "q_b": jnp.zeros((embed_dim,), jnp.float32),
         "k_b": jnp.zeros((embed_dim,), jnp.float32),
         "v_b": jnp.zeros((embed_dim,), jnp.float32),
-        "out_w": jax.random.uniform(
-            ks[3], (embed_dim, embed_dim), jnp.float32,
+        "out_w": rng_uniform(
+            ks[3], (embed_dim, embed_dim),
             -1.0 / np.sqrt(embed_dim), 1.0 / np.sqrt(embed_dim)),
         "out_b": jnp.zeros((embed_dim,), jnp.float32),
         "ln": layer_norm_init(embed_dim),
@@ -296,7 +357,7 @@ def mha_apply(params, x, key_valid, *, num_heads, attn_dropout, rng,
 # Position-wise conv feed-forward (+ optional FiLM)
 # ----------------------------------------------------------------------
 def conv_ff_init(rng, embed_dim, conv_channels, kernel):
-    k1, k2 = jax.random.split(rng)
+    k1, k2 = rng_split(rng)
     return {
         "conv1": conv1d_init(k1, embed_dim, conv_channels, kernel, "relu"),
         "conv2": conv1d_init(k2, conv_channels, embed_dim, kernel, "linear"),
@@ -358,7 +419,7 @@ def conv_ff_apply(params, x, film_params, *, conv_dropout, rng,
 # FFT block: MHA -> mask -> ConvFF(FiLM) -> mask
 # ----------------------------------------------------------------------
 def fft_block_init(rng, embed_dim, num_heads, conv_channels, kernel):
-    k1, k2 = jax.random.split(rng)
+    k1, k2 = rng_split(rng)
     return {
         "attn": mha_init(k1, embed_dim, num_heads),
         "ff": conv_ff_init(k2, embed_dim, conv_channels, kernel),

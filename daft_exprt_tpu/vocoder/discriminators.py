@@ -37,6 +37,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from daft_exprt_tpu.models.modules import (as_init_rng, rng_normal,
+                                            rng_split, rng_uniform)
+
 # parity-critical: same activation slope as the generator
 from daft_exprt_tpu.vocoder.hifigan import LRELU_SLOPE  # noqa: F401
 
@@ -53,20 +56,25 @@ MSD_LAYERS = ((128, 15, 1, 1), (128, 41, 2, 4), (256, 41, 2, 16),
 # ---------------------------------------------------------------------------
 
 def _raw_conv_init(rng, shape, fan_in):
-    k_w, k_b = jax.random.split(rng)
+    k_w, k_b = rng_split(rng)
     bound = 1.0 / np.sqrt(fan_in)
-    w = jax.random.uniform(k_w, shape, jnp.float32,
-                           -np.sqrt(3.0) * bound, np.sqrt(3.0) * bound)
-    b = jax.random.uniform(k_b, (shape[-1],), jnp.float32, -bound, bound)
+    w = rng_uniform(k_w, shape,
+                    -np.sqrt(3.0) * bound, np.sqrt(3.0) * bound)
+    b = rng_uniform(k_b, (shape[-1],), -bound, bound)
     return w, b
 
 
 def _wn_init(rng, shape, fan_in):
-    """Weight-normalized conv params: v = w0, g = ||w0|| per out ch."""
+    """Weight-normalized conv params: v = w0, g = ||w0|| per out ch.
+
+    Init-time math runs in numpy: eager jnp here costs one tiny XLA
+    compile per layer shape (tens of seconds across the discriminator
+    stacks on CPU)."""
     w, b = _raw_conv_init(rng, shape, fan_in)
+    w = np.asarray(w)
     axes = tuple(range(w.ndim - 1))
-    g = jnp.sqrt(jnp.sum(w * w, axis=axes))
-    return {"v": w, "g": g, "b": b}
+    g = np.sqrt(np.sum(w * w, axis=axes))
+    return {"v": w, "g": g.astype(np.float32), "b": np.asarray(b)}
 
 
 def _sn_init(rng, shape, fan_in):
@@ -75,20 +83,22 @@ def _sn_init(rng, shape, fan_in):
     (u, v) are warmed up with 15 power iterations so sigma starts near
     the true spectral norm (random vectors would wildly mis-scale the
     first steps; torch converges within its first forwards instead).
+    Host numpy math -- see _wn_init.
     """
-    k_c, k_u = jax.random.split(rng)
+    k_c, k_u = rng_split(rng)
     w, b = _raw_conv_init(k_c, shape, fan_in)
+    w = np.asarray(w)
     out = shape[-1]
-    mat = jnp.transpose(w, (2, 1, 0)).reshape(out, -1)  # torch order
-    u = jax.random.normal(k_u, (out,), jnp.float32)
-    u = u / jnp.linalg.norm(u)
+    mat = np.transpose(w, (2, 1, 0)).reshape(out, -1)  # torch order
+    u = np.asarray(rng_normal(k_u, (out,)))
+    u = u / np.linalg.norm(u)
     for _ in range(15):
         v = mat.T @ u
-        v = v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
+        v = v / np.maximum(np.linalg.norm(v), 1e-12)
         u = mat @ v
-        u = u / jnp.maximum(jnp.linalg.norm(u), 1e-12)
-    params = {"w_orig": w, "b": b}
-    return params, {"u": u, "v": v}
+        u = u / np.maximum(np.linalg.norm(u), 1e-12)
+    params = {"w_orig": w, "b": np.asarray(b)}
+    return params, {"u": u.astype(np.float32), "v": v.astype(np.float32)}
 
 
 # ---------------------------------------------------------------------------
@@ -145,7 +155,7 @@ class DiscriminatorP:
     def init_params(self, rng):
         k = self.kernel_size
         chans = (1,) + self.channels
-        keys = iter(jax.random.split(rng, len(chans) + 2))
+        keys = iter(rng_split(as_init_rng(rng), len(chans) + 2))
         convs = [_wn_init(next(keys), (k, 1, cin, cout), cin * k)
                  for cin, cout in zip(chans[:-1], chans[1:])]
         top = self.channels[-1]
@@ -189,7 +199,7 @@ class DiscriminatorS:
         self.layers = tuple(layers)
 
     def init_params(self, rng):
-        keys = iter(jax.random.split(rng, len(self.layers) + 2))
+        keys = iter(rng_split(as_init_rng(rng), len(self.layers) + 2))
         init = _sn_init if self.spectral else \
             (lambda r, s, f: (_wn_init(r, s, f), None))
         convs, states = [], []
@@ -243,7 +253,7 @@ class MultiPeriodDiscriminator:
         self.subs = [DiscriminatorP(p, channels) for p in periods]
 
     def init_params(self, rng):
-        keys = jax.random.split(rng, len(self.subs))
+        keys = rng_split(as_init_rng(rng), len(self.subs))
         return [s.init_params(k) for s, k in zip(self.subs, keys)]
 
     def apply(self, params, y):
@@ -269,7 +279,7 @@ class MultiScaleDiscriminator:
                      for i in range(n_scales)]
 
     def init_params(self, rng):
-        keys = jax.random.split(rng, len(self.subs))
+        keys = rng_split(as_init_rng(rng), len(self.subs))
         pairs = [s.init_params(k) for s, k in zip(self.subs, keys)]
         return [p for p, _ in pairs], [st for _, st in pairs]
 

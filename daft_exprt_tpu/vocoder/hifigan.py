@@ -32,6 +32,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from daft_exprt_tpu.models.modules import (as_init_rng, rng_split,
+                                            rng_uniform)
+
 LRELU_SLOPE = 0.1
 
 V1_CONFIG = {
@@ -49,12 +52,12 @@ V1_CONFIG = {
 
 def _conv_init(rng, k, in_ch, out_ch):
     """torch Conv1d default init (kaiming uniform, a=sqrt(5))."""
-    k_w, k_b = jax.random.split(rng)
+    k_w, k_b = rng_split(rng)
     fan_in = in_ch * k
     bound = 1.0 / np.sqrt(fan_in)
-    w = jax.random.uniform(k_w, (k, in_ch, out_ch), jnp.float32,
-                           -np.sqrt(3.0) * bound, np.sqrt(3.0) * bound)
-    b = jax.random.uniform(k_b, (out_ch,), jnp.float32, -bound, bound)
+    w = rng_uniform(k_w, (k, in_ch, out_ch),
+                    -np.sqrt(3.0) * bound, np.sqrt(3.0) * bound)
+    b = rng_uniform(k_b, (out_ch,), -bound, bound)
     return {"w": w, "b": b}
 
 
@@ -116,8 +119,8 @@ class HiFiGanGenerator:
         convs_per_block = sum(len(d) for d in
                               cfg["resblock_dilation_sizes"]) \
             * (2 if self.two_convs else 1)
-        keys = iter(jax.random.split(
-            rng, 2 + self.num_upsamples
+        keys = iter(rng_split(
+            as_init_rng(rng), 2 + self.num_upsamples
             + self.num_upsamples * convs_per_block))
         params = {"conv_pre": _conv_init(next(keys), 7, cfg["num_mels"],
                                          ch0)}

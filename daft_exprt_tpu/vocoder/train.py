@@ -69,11 +69,14 @@ def wn_wrap(tree, _dim=None):
     """
     if isinstance(tree, dict):
         if set(tree) == {"w", "b"}:
-            w = tree["w"]
+            # host numpy: wrap runs once per layer at init; eager jnp
+            # would compile one tiny XLA program per layer shape
+            w = np.asarray(tree["w"])
             dim = w.ndim - 1 if _dim is None else _dim
             axes = tuple(i for i in range(w.ndim) if i != dim)
-            g = jnp.sqrt(jnp.sum(w * w, axis=axes, keepdims=True))
-            return {"v": w, "g": g, "b": tree["b"]}
+            g = np.sqrt(np.sum(w * w, axis=axes, keepdims=True))
+            return {"v": w, "g": g.astype(np.float32),
+                    "b": np.asarray(tree["b"])}
         return {k: wn_wrap(v, 1 if k == "ups" else _dim)
                 for k, v in tree.items()}
     if isinstance(tree, (list, tuple)):

@@ -227,10 +227,19 @@ def test_inference_bf16_close_to_f32(setup):
                                     pitch_stds, 64)
     enc16, _, _ = model16.inference(params, inputs, "add", pitch_means,
                                     pitch_stds, 64)
-    diff = np.abs(np.asarray(enc32[1]) - np.asarray(enc16[1]))
-    # untrained-model bf16 noise can push a duration across two frame
-    # boundaries occasionally; most entries must still agree within 1
-    assert diff.max() <= 2, diff
+    dur32 = np.asarray(enc32[1], np.float64)
+    dur16 = np.asarray(enc16[1], np.float64)
+    diff = np.abs(dur32 - dur16)
+    # Two legitimate bf16-vs-f32 divergences (untrained model, so
+    # predictions sit at arbitrary knife edges):
+    # - rounding drift: integer frame counts move by a frame or two;
+    # - the drop rule (durations < fft_len/2 are zeroed, reference
+    #   model.py:789-812): a prediction straddling the threshold is
+    #   kept by one dtype and dropped to 0 by the other, so that
+    #   symbol's whole (small) duration shows up as diff.
+    threshold_flip = (dur32 == 0) ^ (dur16 == 0)
+    assert np.all((diff <= 2) | threshold_flip), (dur32, dur16)
+    assert threshold_flip.mean() < 0.1, threshold_flip
     assert (diff >= 2).mean() < 0.1, diff
 
 
