@@ -38,6 +38,15 @@ def converted_ckpt(tmp_path_factory):
         } for i in hp.speakers_id}
     model = DaftExprt(hp)
     params = model.init_params(jax.random.PRNGKey(0))
+    # Bias the duration head to ~0.12 s/phone: random-init predictions
+    # hover near zero seconds, which quantize to 0-2 total frames and
+    # make the Griffin-Lim preview (which drops the two centered-STFT
+    # tail frames, as the reference does) legitimately empty. Real
+    # checkpoints predict tens of frames per sentence; the test
+    # artifact should too.
+    proj = params["prosody_predictor"]["projection"]
+    proj["w"] = proj["w"].at[:, 0].set(0.0)
+    proj["b"] = proj["b"].at[0].set(0.12)
     ckpt_dir = str(root / "converted")
     config = {k: v for k, v in hp.as_dict().items()}
     save_converted_checkpoint(ckpt_dir, params, config)
