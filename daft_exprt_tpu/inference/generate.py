@@ -804,11 +804,16 @@ def save_previews(predictions: dict, output_dir: str, hparams,
         if wav.size:
             save_wav(os.path.join(output_dir, f"{file_name}.wav"), wav,
                      hparams.sampling_rate)
-        else:
+        elif getattr(mel_spec, "ndim", 0) == 2:
             _logger.warning(
                 f"{file_name}: no Griffin-Lim preview written -- the "
                 f"predicted mel has {mel_spec.shape[1]} frame(s), all "
                 f"of which are centered-STFT tail padding")
+        else:  # unexpected shape: report generically, never throw
+            _logger.warning(
+                f"{file_name}: no Griffin-Lim preview written -- "
+                f"unexpected mel shape "
+                f"{getattr(mel_spec, 'shape', '?')}")
     items = [[name, p[4], p[5]] for name, p in predictions.items()]
     launch_multi_process(iterable=items, func=_save_preview_plot,
                          n_jobs=n_jobs, timer_verbose=False,

@@ -304,6 +304,7 @@ class Trainer:
                         f"grad_norm={metrics['grad_norm']:.3f} "
                         f"({dt:.3f}s/it)")
 
+                bench_fired = False
                 if self.iteration % hp.iters_check_for_model_improvement \
                         == 0:
                     # every process validates (identical batches) and
@@ -332,6 +333,7 @@ class Trainer:
                                 # snapshot, not only periodic ckpts
                                 benchmark_hook(self._host_local(params),
                                                self.iteration, out_dir)
+                                bench_fired = True
 
                 if self.iteration % hp.iters_per_checkpoint == 0:
                     path = saver.save(
@@ -339,7 +341,11 @@ class Trainer:
                         hp, self.best_val_loss)
                     if self.is_chief:
                         _logger.info(f"checkpoint saved: {path}")
-                        if benchmark_hook is not None:
+                        if benchmark_hook is not None and not bench_fired:
+                            # fire once per event even when a best-model
+                            # save and a periodic checkpoint coincide at
+                            # the same iteration (reference fires per
+                            # event too, train.py:449-467)
                             benchmark_hook(self._host_local(params),
                                            self.iteration, out_dir)
 

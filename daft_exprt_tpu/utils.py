@@ -32,6 +32,11 @@ def enable_compile_cache(min_compile_secs: float = 5.0) -> str:
     import os
 
     import jax
+    if jax.default_backend() == "cpu":
+        # XLA:CPU AOT cache entries embed machine-feature pseudo-flags
+        # (+prefer-no-scatter etc.) that can mismatch on reload and risk
+        # SIGILL; never enable the persistent cache on the CPU backend.
+        return ""
     cache = os.environ.get("DAFT_EXPRT_COMPILE_CACHE",
                            "/tmp/daft_exprt_jax_cache")
     os.makedirs(cache, exist_ok=True)

@@ -38,6 +38,27 @@ def tiny_hparams(**overrides):
     return HyperParams(**kwargs)
 
 
+def pinned_init_params(model, seed=0, seconds_per_phone=0.12):
+    """Random-init params with the duration head pinned to a realistic
+    per-phone duration.
+
+    Random-init duration predictions hover near zero seconds, which
+    quantize to 0-2 total frames and make Griffin-Lim previews (which
+    drop the two centered-STFT tail frames, as the reference does,
+    /root/reference/src/daft_exprt/generate.py:429-433) legitimately
+    empty. Real checkpoints predict tens of frames per sentence; test
+    checkpoints should too. Shared by every e2e test that fabricates a
+    checkpoint (CLI, style bank, serving).
+    """
+    import jax
+
+    params = model.init_params(jax.random.PRNGKey(seed))
+    proj = params["prosody_predictor"]["projection"]
+    proj["w"] = proj["w"].at[:, 0].set(0.0)
+    proj["b"] = proj["b"].at[0].set(seconds_per_phone)
+    return params
+
+
 def synthetic_batch(hp, batch_size=4, max_symbols=12, max_frames=48,
                     seed=0):
     """Random but invariant-respecting training batch.

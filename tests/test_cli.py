@@ -15,7 +15,7 @@ import jax
 import numpy as np
 import pytest
 
-from helpers import tiny_hparams
+from helpers import pinned_init_params, tiny_hparams
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
                                 "scripts"))
@@ -37,16 +37,7 @@ def converted_ckpt(tmp_path_factory):
             "energy": {"mean": 3.0, "std": 1.0, "min": 0.0, "max": 9.0},
         } for i in hp.speakers_id}
     model = DaftExprt(hp)
-    params = model.init_params(jax.random.PRNGKey(0))
-    # Bias the duration head to ~0.12 s/phone: random-init predictions
-    # hover near zero seconds, which quantize to 0-2 total frames and
-    # make the Griffin-Lim preview (which drops the two centered-STFT
-    # tail frames, as the reference does) legitimately empty. Real
-    # checkpoints predict tens of frames per sentence; the test
-    # artifact should too.
-    proj = params["prosody_predictor"]["projection"]
-    proj["w"] = proj["w"].at[:, 0].set(0.0)
-    proj["b"] = proj["b"].at[0].set(0.12)
+    params = pinned_init_params(model)
     ckpt_dir = str(root / "converted")
     config = {k: v for k, v in hp.as_dict().items()}
     save_converted_checkpoint(ckpt_dir, params, config)

@@ -12,7 +12,7 @@ import jax
 import numpy as np
 import pytest
 
-from helpers import tiny_hparams
+from helpers import pinned_init_params, tiny_hparams
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
                                 "scripts"))
@@ -36,7 +36,7 @@ def server(tmp_path_factory):
             "energy": {"mean": 3.0, "std": 1.0, "min": 0.0, "max": 9.0},
         } for i in hp.speakers_id}
     model = DaftExprt(hp)
-    params = model.init_params(jax.random.PRNGKey(0))
+    params = pinned_init_params(model)
     ckpt_dir = str(root / "converted")
     save_converted_checkpoint(ckpt_dir, params, dict(hp.as_dict()))
 
@@ -149,7 +149,7 @@ def test_vocoder_service_fused_path(tmp_path):
                   "min": 4.0, "max": 6.0},
         "energy": {"mean": 3.0, "std": 1.0, "min": 0.0, "max": 9.0}}}
     model = DaftExprt(hp)
-    params = model.init_params(jax.random.PRNGKey(0))
+    params = pinned_init_params(model)
     ckpt_dir = str(tmp_path / "converted")
     save_converted_checkpoint(ckpt_dir, params, dict(hp.as_dict()))
 
@@ -200,7 +200,7 @@ def test_dynamic_batcher_collates_concurrent_requests(tmp_path):
                   "min": 4.0, "max": 6.0},
         "energy": {"mean": 3.0, "std": 1.0, "min": 0.0, "max": 9.0}}}
     model = DaftExprt(hp)
-    params = model.init_params(jax.random.PRNGKey(0))
+    params = pinned_init_params(model)
     ckpt_dir = str(tmp_path / "converted")
     save_converted_checkpoint(ckpt_dir, params, dict(hp.as_dict()))
     style_dir = str(tmp_path / "style_bank")
@@ -287,7 +287,7 @@ def test_stream_route(tmp_path):
                   "min": 4.0, "max": 6.0},
         "energy": {"mean": 3.0, "std": 1.0, "min": 0.0, "max": 9.0}}}
     model = DaftExprt(hp)
-    params = model.init_params(jax.random.PRNGKey(0))
+    params = pinned_init_params(model)
     ckpt_dir = str(tmp_path / "converted")
     save_converted_checkpoint(ckpt_dir, params, dict(hp.as_dict()))
 
