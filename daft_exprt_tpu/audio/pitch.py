@@ -28,19 +28,57 @@ import tempfile
 import numpy as np
 from scipy.io import wavfile
 
-# DP cost weights (RAPT-style).
+# DP cost weights (RAPT-style). The non-structural knobs (window,
+# analysis oversampling, high-pass, silence penalty, transition cost)
+# are CALIBRATED against the reference's actual REAPER binary on the 15
+# real speech recordings in /root/reference/scripts/style_bank/english/
+# (grid search, 2026-08-19): unvoiced-mask agreement mean 0.950 /
+# min 0.910, median voiced |dlog F0| 0.008 — see docs/PARITY.md and
+# tests/test_reaper_golden.py, which pins these numbers.
 _FREQ_JUMP_COST = 0.35     # cost per octave jump between voiced frames
-_VUV_TRANSITION_COST = 0.2  # cost of switching voiced <-> unvoiced
+_VUV_TRANSITION_COST = 0.7  # cost of switching voiced <-> unvoiced
 _N_CANDS = 5                # voiced lag candidates per frame
 # RAPT lag weight: local voiced cost = 1 - nccf * (1 - 0.3 * lag /
 # max_lag). Breaks the subharmonic tie of perfectly periodic signals
 # (an octave-down candidate has equal NCCF) in favor of the shorter lag.
 _LAG_WT_FRACTION = 0.3
+# correlation window (s): REAPER uses short (~7.5 ms) windows, which
+# resolve voicing on/offsets far better than one full min-F0 period
+_WINDOW_SEC = 0.0075
+# analysis grid oversampling vs the nominal frame interval (-e): the
+# track is held sample-synchronously, so a 2x finer grid sharpens
+# voicing boundaries at negligible cost
+_OVERSAMPLE = 2
+# low-frequency rumble high-pass before correlation (REAPER's own
+# preprocessing removes DC/rumble; without it, breath/room noise below
+# the tracking band shows up as spurious voicing)
+_HP_CUTOFF_HZ = 80.0
+_HP_TAPS = 255
+# quiet-frame penalty: voiced local costs grow by alpha * dB below the
+# floor (relative to the utterance's loudest analysis frame)
+_SILENCE_ALPHA = 0.1
+_SILENCE_FLOOR_DB = -35.0
+
+
+def highpass_kernel(fs: int, cutoff: float = _HP_CUTOFF_HZ,
+                    taps: int = _HP_TAPS) -> np.ndarray:
+    """Linear-phase high-pass FIR (Hann-windowed spectral inversion).
+
+    Shared by the host and device trackers; the C++ tracker computes
+    the identical kernel (native/pitch_tracker/pitch_tracker.cc).
+    """
+    n = np.arange(taps) - (taps - 1) / 2
+    fc = cutoff / fs
+    lp = 2 * fc * np.sinc(2 * fc * n)
+    lp *= 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(taps) / (taps - 1))
+    hp = -lp
+    hp[(taps - 1) // 2] += 1.0
+    return hp
 
 
 def _frame_starts(n_samples: int, fs: int, frame_interval: float,
                   window: int, max_lag: int) -> np.ndarray:
-    step = max(1, int(round(frame_interval * fs)))
+    step = max(1, int(round(frame_interval * fs / _OVERSAMPLE)))
     last = n_samples - (window + max_lag)
     if last < 0:
         return np.zeros((0,), np.int64)
@@ -51,17 +89,22 @@ def nccf(wav: np.ndarray, fs: int, frame_interval: float, min_f0: float,
          max_f0: float):
     """Normalized cross-correlation function per frame.
 
+    The input is high-passed (rumble removal) first; ``rel_db`` is each
+    analysis frame's RMS in dB relative to the loudest frame, feeding
+    the Viterbi silence penalty.
+
     :return: (nccf (F, K) for lags in [min_lag, max_lag], min_lag,
-              frame start indices)
+              frame start indices, rel_db (F,))
     """
     wav = np.asarray(wav, np.float64)
+    wav = np.convolve(wav, highpass_kernel(fs), mode="same")
     min_lag = max(2, int(np.floor(fs / max_f0)))
     max_lag = int(np.ceil(fs / min_f0))
-    window = max_lag  # one period of the lowest trackable F0
+    window = max(2, int(round(_WINDOW_SEC * fs)))
     starts = _frame_starts(len(wav), fs, frame_interval, window, max_lag)
     F = len(starts)
     if F == 0:
-        return np.zeros((0, 0)), min_lag, starts
+        return np.zeros((0, 0)), min_lag, starts, np.zeros((0,))
 
     seg_len = window + max_lag
     idx = starts[:, None] + np.arange(seg_len)[None, :]
@@ -81,11 +124,13 @@ def nccf(wav: np.ndarray, fs: int, frame_interval: float, min_f0: float,
     e0 = ek[:, :1]
     denom = np.sqrt(e0 * ek) + 1e-12
     out = (corr / denom)[:, min_lag:max_lag + 1]     # (F, K)
-    return out, min_lag, starts
+    rel_db = 20.0 * np.log10(np.sqrt(e0[:, 0] / window) + 1e-9)
+    rel_db -= rel_db.max()
+    return out, min_lag, starts, rel_db
 
 
 def _viterbi_track(nccf_mat: np.ndarray, min_lag: int, fs: int,
-                   uv_cost: float):
+                   uv_cost: float, rel_db: np.ndarray | None = None):
     """DP over {unvoiced, top-N lag candidates} per frame.
 
     :return: (f0 per frame, voiced mask per frame)
@@ -105,12 +150,15 @@ def _viterbi_track(nccf_mat: np.ndarray, min_lag: int, fs: int,
     cost = np.full((F, n_states), INF)
     back = np.zeros((F, n_states), np.int32)
 
-    # local costs: voiced candidate = 1 - nccf * lag weight;
-    # unvoiced = uv_cost
+    # local costs: voiced candidate = 1 - nccf * lag weight + silence
+    # penalty; unvoiced = uv_cost
     local = np.empty((F, n_states))
     local[:, 0] = uv_cost
     local[:, 1:] = 1.0 - cand_nccf * (
         1.0 - _LAG_WT_FRACTION * cand_lag / max_lag)
+    if rel_db is not None:
+        local[:, 1:] += _SILENCE_ALPHA * np.maximum(
+            0.0, _SILENCE_FLOOR_DB - rel_db)[:, None]
 
     cost[0] = local[0]
     log_lag = np.log2(np.maximum(cand_lag, 1))
@@ -145,10 +193,13 @@ def track_pitch(wav: np.ndarray, fs: int, frame_interval: float = 0.005,
 
     :return: (f0 Hz per analysis frame (0 where unvoiced), frame starts)
     """
-    mat, min_lag, starts = nccf(wav, fs, frame_interval, min_f0, max_f0)
+    mat, min_lag, starts, rel_db = nccf(wav, fs, frame_interval, min_f0,
+                                        max_f0)
     # map REAPER-style uv cost (-w 0.9) to an NCCF voicing cost in (0, 1):
     # higher -w = more reluctant to call voiced.
-    f0, voiced = _viterbi_track(mat, min_lag, fs, uv_cost=1.0 - 1.0 / (1.0 + uv_cost))
+    f0, voiced = _viterbi_track(
+        mat, min_lag, fs, uv_cost=1.0 - 1.0 / (1.0 + uv_cost),
+        rel_db=rel_db)
     f0[~voiced] = 0.0
     return f0, starts
 
@@ -286,8 +337,8 @@ def extract_pitch_from_frame_f0(f0: np.ndarray, starts: np.ndarray,
 
     Consumes the output of ``pitch_jax.track_pitch_batch`` (one padded
     row): frames are truncated to exactly the set the host tracker
-    emits for ``wav_len`` samples (start + 2 * max_lag <= wav_len --
-    the extra padded-row frames are forced-unvoiced and must NOT
+    emits for ``wav_len`` samples (start + window + max_lag <= wav_len
+    -- the extra padded-row frames are forced-unvoiced and must NOT
     override the tail hold), then the identical sample-synchronous
     hold + int16 quantization + log/downsample chain as
     :func:`extract_pitch` is applied. Validated byte-identical to the
@@ -296,7 +347,8 @@ def extract_pitch_from_frame_f0(f0: np.ndarray, starts: np.ndarray,
     corpus's incremental preprocessing runs on ONE tracker.
     """
     max_lag = int(np.ceil(fs / hparams.min_f0))
-    keep = starts <= wav_len - 2 * max_lag
+    window = max(2, int(round(_WINDOW_SEC * fs)))
+    keep = starts <= wav_len - (window + max_lag)
     track = _hold_to_samples(np.asarray(f0)[keep],
                              np.asarray(starts)[keep], wav_len)
     return log_f0_per_mel_frame(track.astype(np.float64),

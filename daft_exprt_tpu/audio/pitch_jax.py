@@ -23,7 +23,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from daft_exprt_tpu.audio.pitch import (_FREQ_JUMP_COST, _LAG_WT_FRACTION,
-                                        _N_CANDS, _VUV_TRANSITION_COST)
+                                        _N_CANDS, _OVERSAMPLE,
+                                        _SILENCE_ALPHA, _SILENCE_FLOOR_DB,
+                                        _VUV_TRANSITION_COST, _WINDOW_SEC,
+                                        highpass_kernel)
+
+
+def _analysis_window(fs: int) -> int:
+    return max(2, int(round(_WINDOW_SEC * fs)))
 
 
 @functools.partial(
@@ -31,16 +38,25 @@ from daft_exprt_tpu.audio.pitch import (_FREQ_JUMP_COST, _LAG_WT_FRACTION,
     static_argnames=("fs", "frame_interval", "min_f0", "max_f0"))
 def nccf_batch(wavs: jnp.ndarray, fs: int, frame_interval: float = 0.005,
                min_f0: float = 40.0, max_f0: float = 500.0):
-    """(B, S) zero-padded wavs -> (nccf (B, F, K), min_lag, starts (F,)).
+    """(B, S) zero-padded wavs -> (nccf (B, F, K), frame RMS (B, F)).
 
-    F and K are static given (S, fs, f0 limits).
+    F and K are static given (S, fs, f0 limits). Applies the shared
+    80 Hz rumble high-pass (pitch.highpass_kernel) before correlating,
+    mirroring the host tracker.
     """
     wavs = jnp.asarray(wavs, jnp.float32)
     B, S = wavs.shape
+    # 'same' linear convolution with the high-pass FIR via rfft
+    kern = highpass_kernel(fs).astype(np.float32)
+    taps = len(kern)
+    cfft = 1 << int(np.ceil(np.log2(S + taps - 1)))
+    wavs = jnp.fft.irfft(
+        jnp.fft.rfft(wavs, cfft) * jnp.fft.rfft(jnp.asarray(kern), cfft),
+        cfft)[:, (taps - 1) // 2:(taps - 1) // 2 + S]
     min_lag = max(2, int(np.floor(fs / max_f0)))
     max_lag = int(np.ceil(fs / min_f0))
-    window = max_lag
-    step = max(1, int(round(frame_interval * fs)))
+    window = _analysis_window(fs)
+    step = max(1, int(round(frame_interval * fs / _OVERSAMPLE)))
     last = S - (window + max_lag)
     starts = np.arange(0, max(last, 0) + 1, step, dtype=np.int64)
     F = len(starts)
@@ -60,7 +76,8 @@ def nccf_batch(wavs: jnp.ndarray, fs: int, frame_interval: float = 0.005,
     ek = csum[..., window:] - csum[..., :-window]   # (B, F, max_lag + 1)
     e0 = ek[..., :1]
     denom = jnp.sqrt(e0 * ek) + 1e-12
-    return (corr / denom)[..., min_lag:max_lag + 1]
+    rms = jnp.sqrt(e0[..., 0] / window)             # (B, F)
+    return (corr / denom)[..., min_lag:max_lag + 1], rms
 
 
 def lag_range(fs: int, min_f0: float, max_f0: float):
@@ -72,14 +89,15 @@ def lag_range(fs: int, min_f0: float, max_f0: float):
 def frame_starts(S: int, fs: int, frame_interval: float, min_f0: float,
                  max_f0: float) -> np.ndarray:
     _, max_lag = lag_range(fs, min_f0, max_f0)
-    step = max(1, int(round(frame_interval * fs)))
-    last = S - 2 * max_lag
+    step = max(1, int(round(frame_interval * fs / _OVERSAMPLE)))
+    last = S - (_analysis_window(fs) + max_lag)
     return np.arange(0, max(last, 0) + 1, step, dtype=np.int64)
 
 
 @functools.partial(jax.jit, static_argnames=("fs", "min_lag", "uv_cost"))
 def viterbi_batch(nccf: jnp.ndarray, fs: int, min_lag: int,
-                  uv_cost: float, frame_valid=None):
+                  uv_cost: float, frame_valid=None,
+                  silence_penalty=None):
     """(B, F, K) nccf -> (f0 (B, F), voiced (B, F)) via scan Viterbi.
 
     ``frame_valid`` (B, F) marks real frames of padded rows. Padded
@@ -88,6 +106,9 @@ def viterbi_batch(nccf: jnp.ndarray, fs: int, min_lag: int,
     picks argmin over the last real frame's costs -- exactly where the
     per-utterance host tracker terminates -- so batching rows of
     different lengths is bit-identical to tracking each row alone.
+
+    ``silence_penalty`` (B, F) is added to every voiced candidate's
+    local cost (the host tracker's quiet-frame penalty).
     """
     B, F, K = nccf.shape
     max_lag = min_lag + K - 1
@@ -98,6 +119,8 @@ def viterbi_batch(nccf: jnp.ndarray, fs: int, min_lag: int,
     n_states = _N_CANDS + 1
     voiced_local = 1.0 - cand_nccf * (
         1.0 - _LAG_WT_FRACTION * cand_lag / max_lag)
+    if silence_penalty is not None:
+        voiced_local = voiced_local + silence_penalty[..., None]
     local = jnp.concatenate(
         [jnp.full((B, F, 1), uv_cost, jnp.float32), voiced_local],
         axis=-1)                                          # (B, F, S)
@@ -165,12 +188,18 @@ def track_pitch_batch(wavs, lengths, fs: int, frame_interval: float = 0.005,
     Frames whose analysis window extends past a row's true length are
     forced unvoiced (0).
     """
-    nccf = nccf_batch(wavs, fs, frame_interval, min_f0, max_f0)
+    nccf, rms = nccf_batch(wavs, fs, frame_interval, min_f0, max_f0)
     min_lag, max_lag = lag_range(fs, min_f0, max_f0)
     starts = frame_starts(wavs.shape[1], fs, frame_interval, min_f0,
                           max_f0)
     uv_cost = 1.0 - 1.0 / (1.0 + uv_weight)
-    valid = jnp.asarray(starts[None, :] + 2 * max_lag
+    valid = jnp.asarray(starts[None, :] + _analysis_window(fs) + max_lag
                         <= np.asarray(lengths)[:, None])
-    f0, _ = viterbi_batch(nccf, fs, min_lag, uv_cost, frame_valid=valid)
+    # quiet-frame penalty relative to each row's loudest VALID frame
+    rel_db = 20.0 * jnp.log10(rms + 1e-9)
+    rel_db = rel_db - jnp.max(jnp.where(valid, rel_db, -jnp.inf),
+                              axis=1, keepdims=True)
+    penalty = _SILENCE_ALPHA * jnp.maximum(0.0, _SILENCE_FLOOR_DB - rel_db)
+    f0, _ = viterbi_batch(nccf, fs, min_lag, uv_cost, frame_valid=valid,
+                          silence_penalty=penalty)
     return jnp.where(valid, f0, 0.0), starts

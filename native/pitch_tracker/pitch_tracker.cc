@@ -21,14 +21,18 @@
 //
 // Algorithm (identical math to daft_exprt_tpu/audio/pitch.py, which is
 // the golden Python implementation this binary is parity-tested
-// against):
-//   1. frames every round(e * fs) samples; window = ceil(fs / min_f0);
+// against; the cost model is calibrated against the reference's actual
+// REAPER binary on real speech -- see docs/PARITY.md):
+//   0. 80 Hz rumble high-pass (255-tap Hann-windowed sinc FIR)
+//   1. frames every round(e * fs / 2) samples (2x oversampled
+//      analysis); window = round(0.0075 * fs) samples;
 //      lags k in [floor(fs/max_f0), ceil(fs/min_f0)]
 //   2. NCCF(i, k) = sum_j x[t+j] x[t+j+k] / sqrt(e0 * ek)
 //   3. top-5 lag candidates per frame; Viterbi over
-//      {unvoiced, candidates} with octave-jump cost 0.35/octave and
-//      voiced<->unvoiced transition cost 0.2; unvoiced local cost
-//      1 - 1/(1 + w)
+//      {unvoiced, candidates} with octave-jump cost 0.35/octave,
+//      voiced<->unvoiced transition cost 0.7, quiet-frame penalty
+//      0.1 * max(0, -35dB - rel_rms_db) on voiced candidates;
+//      unvoiced local cost 1 - 1/(1 + w)
 //   4. per-frame F0 held sample-synchronously until the next frame.
 
 #include <algorithm>
@@ -42,11 +46,51 @@
 namespace {
 
 constexpr double kFreqJumpCost = 0.35;
-constexpr double kVuvTransitionCost = 0.2;
+constexpr double kVuvTransitionCost = 0.7;
 constexpr int kNumCands = 5;
 // RAPT lag weight: favors shorter lags to break subharmonic ties of
 // perfectly periodic signals (matches the Python implementation).
 constexpr double kLagWtFraction = 0.3;
+constexpr double kWindowSec = 0.0075;   // correlation window
+constexpr int kOversample = 2;          // analysis grid vs -e interval
+constexpr double kHpCutoffHz = 80.0;    // rumble high-pass
+constexpr int kHpTaps = 255;
+constexpr double kSilenceAlpha = 0.1;   // quiet-frame voiced penalty
+constexpr double kSilenceFloorDb = -35.0;
+
+// Linear-phase high-pass FIR (Hann-windowed spectral inversion);
+// identical to daft_exprt_tpu/audio/pitch.py:highpass_kernel.
+std::vector<double> HighpassKernel(int fs) {
+  std::vector<double> hp(kHpTaps);
+  const double fc = kHpCutoffHz / fs;
+  for (int i = 0; i < kHpTaps; ++i) {
+    const double n = i - (kHpTaps - 1) / 2.0;
+    const double sinc =
+        (n == 0.0) ? 1.0 : std::sin(2.0 * M_PI * fc * n) / (M_PI * n * 2.0 * fc);
+    double lp = 2.0 * fc * sinc;
+    lp *= 0.5 - 0.5 * std::cos(2.0 * M_PI * i / (kHpTaps - 1));
+    hp[i] = -lp;
+  }
+  hp[(kHpTaps - 1) / 2] += 1.0;
+  return hp;
+}
+
+// 'same' convolution with zero boundary (np.convolve(..., 'same')).
+std::vector<double> Filter(const std::vector<double>& x,
+                           const std::vector<double>& k) {
+  const int taps = k.size();
+  const int half = (taps - 1) / 2;
+  std::vector<double> out(x.size(), 0.0);
+  for (size_t i = 0; i < x.size(); ++i) {
+    double acc = 0.0;
+    // out[i] = sum_j k[j] * x[i + half - j]
+    const int j_lo = std::max(0, (int)i + half - (int)x.size() + 1);
+    const int j_hi = std::min(taps - 1, (int)i + half);
+    for (int j = j_lo; j <= j_hi; ++j) acc += k[j] * x[i + half - j];
+    out[i] = acc;
+  }
+  return out;
+}
 
 struct WavData {
   std::vector<double> samples;
@@ -122,13 +166,15 @@ struct Track {
   std::vector<int64_t> starts;  // frame start sample indices
 };
 
-Track TrackPitch(const std::vector<double>& x, int fs, double interval,
+Track TrackPitch(const std::vector<double>& raw, int fs, double interval,
                  double min_f0, double max_f0, double uv_weight) {
   Track track;
+  const std::vector<double> x = Filter(raw, HighpassKernel(fs));
   const int min_lag = std::max(2, (int)std::floor(fs / max_f0));
   const int max_lag = (int)std::ceil(fs / min_f0);
-  const int window = max_lag;
-  const int step = std::max(1, (int)std::lround(interval * fs));
+  const int window = std::max(2, (int)std::lround(kWindowSec * fs));
+  const int step =
+      std::max(1, (int)std::lround(interval * fs / kOversample));
   const int64_t last = (int64_t)x.size() - (window + max_lag);
   if (last < 0) return track;
   for (int64_t s = 0; s <= last; s += step) track.starts.push_back(s);
@@ -138,6 +184,17 @@ Track TrackPitch(const std::vector<double>& x, int fs, double interval,
   for (size_t i = 0; i < x.size(); ++i) {
     energy_prefix[i + 1] = energy_prefix[i] + x[i] * x[i];
   }
+
+  // per-frame RMS in dB relative to the loudest analysis frame
+  std::vector<double> rel_db(F);
+  double max_db = -1e300;
+  for (int i = 0; i < F; ++i) {
+    const int64_t s = track.starts[i];
+    const double e0 = energy_prefix[s + window] - energy_prefix[s];
+    rel_db[i] = 20.0 * std::log10(std::sqrt(e0 / window) + 1e-9);
+    max_db = std::max(max_db, rel_db[i]);
+  }
+  for (int i = 0; i < F; ++i) rel_db[i] -= max_db;
 
   // candidate extraction: top-N values (matching the Python argsort)
   const int n_states = kNumCands + 1;  // state 0 = unvoiced
@@ -164,7 +221,8 @@ Track TrackPitch(const std::vector<double>& x, int fs, double interval,
   auto voiced_cost = [&](int frame, int cand) {
     return 1.0 - cand_nccf[frame][cand] *
                      (1.0 - kLagWtFraction * cand_lag[frame][cand] /
-                                (double)max_lag);
+                                (double)max_lag) +
+           kSilenceAlpha * std::max(0.0, kSilenceFloorDb - rel_db[frame]);
   };
   const double kInf = 1e18;
   std::vector<std::vector<double>> cost(F, std::vector<double>(n_states));
