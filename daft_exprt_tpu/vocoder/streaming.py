@@ -16,18 +16,24 @@ streaming strategy is then exact, not approximate:
 
 - slice the mel into fixed-size windows of ``chunk + 2*halo`` frames
   (ONE static shape -> one compiled executable for the whole stream);
-- clamp each window inside ``[0, T]`` so a window that reaches the
-  true sequence edge reproduces the full run's zero-SAME-padding
-  exactly, and an interior window's edge effects stay inside the halo;
+- windows are clamped at the LEFT edge only (frame 0), matching the
+  zero-SAME conv padding every other path applies at an utterance's
+  start; beyond the true length T the mel is continued with the
+  log-clamp floor ``log(1e-5)``, the SAME tail semantics as the
+  batch path (``vocode_mels``) and the fused acoustic+vocoder graph
+  (both vocode a floor-padded bucket and crop to ``T * up``) -- so
+  the stream is sample-identical to those serving paths, junk in a
+  caller's padded buffer beyond T notwithstanding;
 - crop ``chunk * prod(upsample_rates)`` samples from each output at
   the window-relative offset of the chunk.
 
 Every retained output sample is computed from the same input values
 through the same per-sample dot products as the full-utterance run,
 so the concatenated stream equals `HiFiGanGenerator.apply` on the
-exact-length mel (bit-level on the plain path; the time-blocked
-layout reassociates sums at window-relative block phases, which is
-inaudible -- see tests/test_streaming_vocoder.py for both).
+floor-padded mel cropped to ``T * up`` (bit-level on the plain path;
+the time-blocked layout reassociates sums at window-relative block
+phases, which is inaudible -- see tests/test_streaming_vocoder.py
+for both).
 
 Windows are double-buffered: window i+1 is dispatched to the device
 before window i's result is fetched, so host transfer overlaps device
@@ -131,12 +137,14 @@ class StreamingVocoder:
     # ------------------------------------------------------------------
     def windows(self, n_frames: int):
         """Static plan: [(window_start, crop_start, crop_len), ...] in
-        mel frames; ``sum(crop_len) == n_frames``."""
-        T, W, C, H = n_frames, self.window, self.chunk, self.halo
+        mel frames; ``sum(crop_len) == n_frames``. Window starts clamp
+        at 0 on the left only; a window may extend past ``n_frames``
+        into the floor padding (``stream`` provides it)."""
+        T, C, H = n_frames, self.chunk, self.halo
         plan = []
         for c0 in range(0, T, C):
             c1 = min(c0 + C, T)
-            ws = min(max(c0 - H, 0), T - W)
+            ws = max(c0 - H, 0)
             plan.append((ws, c0 - ws, c1 - c0))
         return plan
 
@@ -144,10 +152,10 @@ class StreamingVocoder:
         """Yield float32 waveform chunks for ``mel`` (num_mels, T).
 
         Chunks concatenate to exactly ``n_frames * prod(rates)``
-        samples, equal to the full-utterance run on ``mel[:, :T]``.
-        Utterances shorter than one window fall back to a single
-        padded dispatch (cropped; the pad uses the mel log-floor, as
-        the batch path does).
+        samples, equal to the full-utterance run on ``mel[:, :T]``
+        floor-padded past T (the batch/fused tail semantics; see the
+        module docstring). Utterances shorter than one window fall
+        back to a single padded dispatch (cropped).
         """
         mel = np.asarray(mel, np.float32)
         T = mel.shape[1] if n_frames is None else int(n_frames)
@@ -162,9 +170,15 @@ class StreamingVocoder:
                                       jnp.asarray(padded)))[0, :T * up]
             return
 
+        # continue the mel with the log-clamp floor so tail windows see
+        # the same values the batch/fused paths' padded buckets hold
+        # (a caller's own buffer may hold junk beyond T -- ignore it)
+        ext = np.full((mel.shape[0], T + self.window), np.log(1e-5),
+                      np.float32)
+        ext[:, :T] = mel[:, :T]
         pending = None  # (device array, crop slice) -- double buffer
         for ws, rel, n in self.windows(T):
-            win = jnp.asarray(mel[None, :, ws:ws + self.window])
+            win = jnp.asarray(ext[None, :, ws:ws + self.window])
             out = self._fn(self._weights, win)  # async dispatch
             if pending is not None:
                 prev, sl = pending
