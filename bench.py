@@ -163,7 +163,11 @@ def _p50_short_utterance_ms(model, hp, params):
         except Exception:
             return None
 
-    B, L, T_ref, T_max = 1, 16, 512, 512
+    # T_max=2048 is a production frame budget (~24 s of speech at
+    # 86 fps) — the regime the bucketed engine exists for: a short
+    # sentence pays a ~128-frame decode bucket instead of the fused
+    # graph's full 2048-frame pass (VERDICT r2 item 5).
+    B, L, T_ref, T_max = 1, 16, 512, 2048
     # plausible English phone-duration stats (the flagship synthetic
     # config has no stats.json; real deployments get these for free)
     hp.stats = dict(hp.stats or {})
@@ -258,7 +262,10 @@ def _train_steps_per_sec(hp):
     for _ in range(iters):
         params, opt_state, metrics = step(params, opt_state, batch,
                                           rng_key, it)
-    jax.block_until_ready(metrics)
+    # fetch the final loss to host (stronger than block_until_ready:
+    # the tunnel transport has been observed reporting readiness early
+    # under host load, inflating steps/s past hardware peak)
+    assert np.isfinite(float(metrics["loss"]))
     steps_per_sec = iters / (time.perf_counter() - t0)
     # fwd + bwd ~= 3x fwd matmul FLOPs, per micro-batch
     mfu = None
@@ -582,6 +589,7 @@ def main():
             "short_utt_bucketed_device_ms": short_bucketed_dev_ms,
             "short_utt_fused_device_ms": short_fused_dev_ms,
             "short_utt_decode_bucket": short_bucket,
+            "short_utt_frame_budget": 2048,
             "train_steps_per_sec": round(steps_per_sec, 3),
             "mfu_train_step": train_mfu,
             "batch": B, "max_symbols": L, "max_frames": T,

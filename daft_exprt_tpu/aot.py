@@ -76,7 +76,36 @@ def backend_fingerprint() -> str:
         os.environ.get("XLA_FLAGS", ""),
         os.environ.get("LIBTPU_INIT_ARGS", ""),
         os.environ.get("TPU_LIBRARY_PATH", ""),
+        _host_cpu_fingerprint() if jax.default_backend() == "cpu" else "",
     ])
+
+
+_HOST_CPU_FP = None
+
+
+def _host_cpu_fingerprint() -> str:
+    """Hash of this host's CPU ISA feature flags. XLA:CPU executables
+    are compiled for the *compiling* host's machine features; loading
+    one on a host with different features risks SIGILL (observed with
+    +prefer-no-scatter pseudo-flag mismatches). Folding the flags into
+    the key turns a cross-host load into a cache miss + recompile."""
+    global _HOST_CPU_FP
+    if _HOST_CPU_FP is None:
+        import platform
+
+        flags = ""
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith("flags"):
+                        flags = " ".join(sorted(line.split(":", 1)[1]
+                                                .split()))
+                        break
+        except OSError:
+            pass
+        raw = f"{platform.machine()}|{flags}"
+        _HOST_CPU_FP = hashlib.sha256(raw.encode()).hexdigest()[:16]
+    return _HOST_CPU_FP
 
 
 def _arg_signature(args):
