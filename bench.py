@@ -209,7 +209,7 @@ def _p50_short_utterance_ms(model, hp, params):
     fused_device_ms = _device_ms_per_call(
         lambda: infer_full(params, dev_inputs), tag="short_fused")
     return (p50_bucketed, p50_fused, bucket, bucketed_device_ms,
-            fused_device_ms)
+            fused_device_ms, T_max)
 
 
 def _train_steps_per_sec(hp):
@@ -264,9 +264,11 @@ def _train_steps_per_sec(hp):
                                           rng_key, it)
     # fetch the final loss to host (stronger than block_until_ready:
     # the tunnel transport has been observed reporting readiness early
-    # under host load, inflating steps/s past hardware peak)
-    assert np.isfinite(float(metrics["loss"]))
+    # under host load, inflating steps/s past hardware peak); the fetch
+    # must not live inside the assert -- python -O strips asserts
+    final_loss = float(metrics["loss"])
     steps_per_sec = iters / (time.perf_counter() - t0)
+    assert np.isfinite(final_loss)
     # fwd + bwd ~= 3x fwd matmul FLOPs, per micro-batch
     mfu = None
     peak = _peak_flops(jax.devices()[0])
@@ -558,7 +560,7 @@ def main():
 
     p50_ms, device_ms = _p50_utterance_latency_ms(model, hp, params)
     (p50_short_bucketed, p50_short_fused, short_bucket,
-     short_bucketed_dev_ms, short_fused_dev_ms) = \
+     short_bucketed_dev_ms, short_fused_dev_ms, short_frame_budget) = \
         _p50_short_utterance_ms(model, hp, params)
     steps_per_sec, train_mfu = _train_steps_per_sec(hp)
     rtf_vocoder = _vocoder_rtf()
@@ -589,7 +591,7 @@ def main():
             "short_utt_bucketed_device_ms": short_bucketed_dev_ms,
             "short_utt_fused_device_ms": short_fused_dev_ms,
             "short_utt_decode_bucket": short_bucket,
-            "short_utt_frame_budget": 2048,
+            "short_utt_frame_budget": short_frame_budget,
             "train_steps_per_sec": round(steps_per_sec, 3),
             "mfu_train_step": train_mfu,
             "batch": B, "max_symbols": L, "max_frames": T,

@@ -97,12 +97,20 @@ def _host_cpu_fingerprint() -> str:
         try:
             with open("/proc/cpuinfo") as f:
                 for line in f:
-                    if line.startswith("flags"):
+                    # x86 exposes "flags", aarch64 "Features"
+                    if line.startswith(("flags", "Features")):
                         flags = " ".join(sorted(line.split(":", 1)[1]
                                                 .split()))
                         break
         except OSError:
             pass
+        if not flags:
+            # without ISA flags two differently-featured hosts hash
+            # alike and the cross-host SIGILL guard is void -- say so
+            _logger.warning(
+                "no CPU feature flags found in /proc/cpuinfo; the AOT "
+                "cache key cannot distinguish hosts with different "
+                "ISA extensions (arch %s)", platform.machine())
         raw = f"{platform.machine()}|{flags}"
         _HOST_CPU_FP = hashlib.sha256(raw.encode()).hexdigest()[:16]
     return _HOST_CPU_FP

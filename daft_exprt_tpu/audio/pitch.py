@@ -26,6 +26,7 @@ import subprocess
 import tempfile
 
 import numpy as np
+import scipy.signal
 from scipy.io import wavfile
 
 # DP cost weights (RAPT-style). The non-structural knobs (window,
@@ -76,6 +77,13 @@ def highpass_kernel(fs: int, cutoff: float = _HP_CUTOFF_HZ,
     return hp
 
 
+def analysis_window(fs: int) -> int:
+    """Correlation window length in samples (single source of truth;
+    the JAX tracker and the REAPER golden test import it -- the C++
+    tracker derives the identical value from _WINDOW_SEC)."""
+    return max(2, int(round(_WINDOW_SEC * fs)))
+
+
 def _frame_starts(n_samples: int, fs: int, frame_interval: float,
                   window: int, max_lag: int) -> np.ndarray:
     step = max(1, int(round(frame_interval * fs / _OVERSAMPLE)))
@@ -97,10 +105,14 @@ def nccf(wav: np.ndarray, fs: int, frame_interval: float, min_f0: float,
               frame start indices, rel_db (F,))
     """
     wav = np.asarray(wav, np.float64)
-    wav = np.convolve(wav, highpass_kernel(fs), mode="same")
+    # FFT convolution: identical zero-boundary 'same' semantics as
+    # np.convolve within float rounding, ~10x faster at 255 taps
+    # over whole utterances (this runs once per corpus file)
+    wav = scipy.signal.fftconvolve(wav, highpass_kernel(fs),
+                                   mode="same")
     min_lag = max(2, int(np.floor(fs / max_f0)))
     max_lag = int(np.ceil(fs / min_f0))
-    window = max(2, int(round(_WINDOW_SEC * fs)))
+    window = analysis_window(fs)
     starts = _frame_starts(len(wav), fs, frame_interval, window, max_lag)
     F = len(starts)
     if F == 0:
@@ -347,7 +359,7 @@ def extract_pitch_from_frame_f0(f0: np.ndarray, starts: np.ndarray,
     corpus's incremental preprocessing runs on ONE tracker.
     """
     max_lag = int(np.ceil(fs / hparams.min_f0))
-    window = max(2, int(round(_WINDOW_SEC * fs)))
+    window = analysis_window(fs)
     keep = starts <= wav_len - (window + max_lag)
     track = _hold_to_samples(np.asarray(f0)[keep],
                              np.asarray(starts)[keep], wav_len)

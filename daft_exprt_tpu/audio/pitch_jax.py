@@ -25,12 +25,9 @@ import numpy as np
 from daft_exprt_tpu.audio.pitch import (_FREQ_JUMP_COST, _LAG_WT_FRACTION,
                                         _N_CANDS, _OVERSAMPLE,
                                         _SILENCE_ALPHA, _SILENCE_FLOOR_DB,
-                                        _VUV_TRANSITION_COST, _WINDOW_SEC,
+                                        _VUV_TRANSITION_COST,
+                                        analysis_window as _analysis_window,
                                         highpass_kernel)
-
-
-def _analysis_window(fs: int) -> int:
-    return max(2, int(round(_WINDOW_SEC * fs)))
 
 
 @functools.partial(

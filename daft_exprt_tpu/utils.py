@@ -28,11 +28,37 @@ def enable_compile_cache(min_compile_secs: float = 5.0) -> str:
     (tests, dry runs): XLA:CPU AOT entries embed machine-feature
     pseudo-flags that mismatch on reload (see tests/conftest.py).
     Returns the cache directory.
+
+    Called at import time by the CLI scripts, so it must NEVER
+    initialize the JAX backend: ``jax.distributed.initialize`` (multi-
+    host training) only works before any backend exists. The backend
+    is therefore read only when something else already initialized it;
+    otherwise CPU-ness comes from ``JAX_PLATFORMS``/``jax_platforms``
+    (which every CPU test/dryrun entry point sets -- tests/conftest.py,
+    __graft_entry__.py). If neither source resolves, the cache is
+    enabled: accelerator production runs rely on it, and the AOT layer
+    independently fingerprints host CPU features (aot.py).
     """
     import os
 
     import jax
-    if jax.default_backend() == "cpu":
+
+    backend = ""
+    try:
+        from jax._src import xla_bridge
+        if xla_bridge.backends_are_initialized():
+            backend = jax.default_backend()
+    except (ImportError, AttributeError):  # no private API: stay lazy
+        pass
+    if not backend:
+        platforms = os.environ.get("JAX_PLATFORMS") or ""
+        if not platforms:
+            try:
+                platforms = jax.config.jax_platforms or ""
+            except AttributeError:
+                platforms = ""
+        backend = platforms.split(",")[0].strip().lower()
+    if backend == "cpu":
         # XLA:CPU AOT cache entries embed machine-feature pseudo-flags
         # (+prefer-no-scatter etc.) that can mismatch on reload and risk
         # SIGILL; never enable the persistent cache on the CPU backend.

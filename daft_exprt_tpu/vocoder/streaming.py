@@ -154,17 +154,25 @@ class StreamingVocoder:
         Chunks concatenate to exactly ``n_frames * prod(rates)``
         samples, equal to the full-utterance run on ``mel[:, :T]``
         floor-padded past T (the batch/fused tail semantics; see the
-        module docstring). Utterances shorter than one window fall
-        back to a single padded dispatch (cropped).
+        module docstring). Utterances no longer than ``window - halo``
+        frames fall back to a single padded dispatch (cropped).
         """
         mel = np.asarray(mel, np.float32)
         T = mel.shape[1] if n_frames is None else int(n_frames)
         up = self.up
 
-        if T < self.window:
-            t_pad = max(self.window, self._t_mult)
-            padded = np.full((1, mel.shape[0], t_pad), np.log(1e-5),
-                             np.float32)
+        if T + self.halo <= self.window:
+            # single-dispatch fast path, same compiled shape as the
+            # windowed loop. Only valid while the floor region
+            # [T, window) covers the tail receptive field [T, T+halo):
+            # for T in (window-halo, window) the buffer would end
+            # inside the tail context and the conv's zero-SAME padding
+            # (mel 0.0, not the log(1e-5) floor) would leak into the
+            # last samples -- those lengths take the windowed loop,
+            # which always keeps >= halo in-window frames of context
+            # right of every retained sample.
+            padded = np.full((1, mel.shape[0], self.window),
+                             np.log(1e-5), np.float32)
             padded[0, :, :T] = mel[:, :T]
             yield np.asarray(self._fn(self._weights,
                                       jnp.asarray(padded)))[0, :T * up]

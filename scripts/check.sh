@@ -35,14 +35,14 @@ for f in $changed; do
             for t in tests/test_cli.py tests/test_serve.py \
                      tests/test_style_bank.py tests/test_pipeline.py; do
                 want[$t]=1; done ;;
-        daft_exprt_tpu/*|scripts/*.py|scripts/evaluation/*|tools/*.py|__graft_entry__.py)
+        daft_exprt_tpu/*|native/*|scripts/*.py|scripts/evaluation/*|tools/*.py|__graft_entry__.py)
             stem=$(basename "$f" .py)
             # direct name match (pitch -> test_pitch, mel -> test_mel, ...)
             for t in tests/test_"$stem"*.py; do
                 [[ -e "$t" ]] && want[$t]=1; done
             # subsystem map for files whose tests live under other names
             case "$f" in
-                daft_exprt_tpu/audio/pitch*|native/*)
+                daft_exprt_tpu/audio/pitch*|daft_exprt_tpu/bin/*|native/*)
                     want[tests/test_pitch.py]=1
                     want[tests/test_reaper_golden.py]=1 ;;
                 daft_exprt_tpu/inference/*)

@@ -28,7 +28,8 @@ import pytest
 from scipy.io import wavfile
 
 from daft_exprt_tpu.audio.io import load_wav
-from daft_exprt_tpu.audio.pitch import (sample_synchronous_f0,
+from daft_exprt_tpu.audio.pitch import (analysis_window,
+                                        sample_synchronous_f0,
                                         sample_synchronous_f0_native,
                                         _native_binary)
 
@@ -142,8 +143,7 @@ def test_batched_jax_tracker_matches_reaper_on_real_speech(golden):
     f0 = np.asarray(f0)
     starts = np.asarray(starts)
     for i, (name, wav, _, reaper) in enumerate(subset):
-        window_lag = int(np.ceil(fs / HP.min_f0)) + max(
-            2, int(round(0.0075 * fs)))
+        window_lag = int(np.ceil(fs / HP.min_f0)) + analysis_window(fs)
         keep = starts <= lens[i] - window_lag
         track = _hold_to_samples(f0[i][keep], starts[keep], lens[i])
         n = min(len(reaper), len(track))

@@ -131,8 +131,11 @@ def test_synthesize_error_handling(server):
     assert resp.status == 400
 
 
-def test_vocoder_service_fused_path(tmp_path):
-    """--vocoder service uses the fused one-dispatch text->audio path."""
+@pytest.fixture(scope="module")
+def vocoder_service(tmp_path_factory):
+    """One --vocoder SynthesisService shared by the fused-path and
+    stream tests (identical construction in both; building it twice
+    doubles several minutes of XLA:CPU compiles)."""
     import serve as srv
     import torch
     from test_vocoder import TorchGenerator
@@ -143,6 +146,7 @@ def test_vocoder_service_fused_path(tmp_path):
     from daft_exprt_tpu.audio.io import save_wav
     from daft_exprt_tpu.models.daft_exprt import DaftExprt
 
+    root = tmp_path_factory.mktemp("voc_serve")
     hp = tiny_hparams(speakers=["spk_a"])
     hp.stats = {"spk 0": {
         "pitch": {"mean": float(np.log(180.0)), "std": 0.25,
@@ -150,10 +154,10 @@ def test_vocoder_service_fused_path(tmp_path):
         "energy": {"mean": 3.0, "std": 1.0, "min": 0.0, "max": 9.0}}}
     model = DaftExprt(hp)
     params = pinned_init_params(model)
-    ckpt_dir = str(tmp_path / "converted")
+    ckpt_dir = str(root / "converted")
     save_converted_checkpoint(ckpt_dir, params, dict(hp.as_dict()))
 
-    style_dir = str(tmp_path / "style_bank")
+    style_dir = str(root / "style_bank")
     os.makedirs(style_dir)
     t = np.arange(int(1.2 * hp.sampling_rate)) / hp.sampling_rate
     phase = 2 * np.pi * np.cumsum(170 + 20 * np.sin(2 * np.pi * t)) \
@@ -163,14 +167,20 @@ def test_vocoder_service_fused_path(tmp_path):
 
     torch.manual_seed(0)
     tgen = TorchGenerator(TINY_VOC_CFG).eval()
-    voc_ckpt = str(tmp_path / "g_tiny.pt")
+    voc_ckpt = str(root / "g_tiny.pt")
     torch.save({"generator": tgen.state_dict()}, voc_ckpt)
-    voc_cfg = str(tmp_path / "voc.json")
+    voc_cfg = str(root / "voc.json")
     with open(voc_cfg, "w") as f:
         json.dump(TINY_VOC_CFG, f)
 
     service = srv.SynthesisService(ckpt_dir, style_dir, vocoder=voc_ckpt,
                                    vocoder_config=voc_cfg)
+    return service, hp
+
+
+def test_vocoder_service_fused_path(vocoder_service):
+    """--vocoder service uses the fused one-dispatch text->audio path."""
+    service, hp = vocoder_service
     assert service.engine._voc is not None  # fused path armed
     wav, frames, seconds, truncated = service.synthesize(
         "{HH AH0 L OW1} {W ER1 L D}", speaker_id=0, style="calm")
@@ -269,46 +279,11 @@ def test_synthesize_request_validation(server):
     assert resp.status == 400 and b"symbols" in data
 
 
-def test_stream_route(tmp_path):
+def test_stream_route(vocoder_service):
     """/stream: progressive WAV equals the fused batch route's audio."""
     import serve as srv
-    import torch
-    from test_fused_vocoder import TINY_VOC_CFG
-    from test_vocoder import TorchGenerator
 
-    from tools.convert_checkpoint import save_converted_checkpoint
-
-    from daft_exprt_tpu.audio.io import save_wav
-    from daft_exprt_tpu.models.daft_exprt import DaftExprt
-
-    hp = tiny_hparams(speakers=["spk_a"])
-    hp.stats = {"spk 0": {
-        "pitch": {"mean": float(np.log(180.0)), "std": 0.25,
-                  "min": 4.0, "max": 6.0},
-        "energy": {"mean": 3.0, "std": 1.0, "min": 0.0, "max": 9.0}}}
-    model = DaftExprt(hp)
-    params = pinned_init_params(model)
-    ckpt_dir = str(tmp_path / "converted")
-    save_converted_checkpoint(ckpt_dir, params, dict(hp.as_dict()))
-
-    style_dir = str(tmp_path / "style_bank")
-    os.makedirs(style_dir)
-    t = np.arange(int(1.2 * hp.sampling_rate)) / hp.sampling_rate
-    phase = 2 * np.pi * np.cumsum(170 + 20 * np.sin(2 * np.pi * t)) \
-        / hp.sampling_rate
-    save_wav(os.path.join(style_dir, "calm.wav"),
-             (0.5 * np.sin(phase)).astype(np.float32), hp.sampling_rate)
-
-    torch.manual_seed(0)
-    tgen = TorchGenerator(TINY_VOC_CFG).eval()
-    voc_ckpt = str(tmp_path / "g_tiny.pt")
-    torch.save({"generator": tgen.state_dict()}, voc_ckpt)
-    voc_cfg = str(tmp_path / "voc.json")
-    with open(voc_cfg, "w") as f:
-        json.dump(TINY_VOC_CFG, f)
-
-    service = srv.SynthesisService(ckpt_dir, style_dir, vocoder=voc_ckpt,
-                                   vocoder_config=voc_cfg)
+    service, hp = vocoder_service
     assert service.streamer is not None
     text = "{HH AH0 L OW1} {W ER1 L D} {DH IH1 S} {IH1 Z} {AH0} " \
            "{L AO1 NG G ER0} {S EH1 N T AH0 N S}"

@@ -89,17 +89,31 @@ def test_insufficient_halo_breaks_seams(tiny_gen, rng_np):
 def test_short_utterance_single_window(tiny_gen, rng_np):
     gen, params = tiny_gen
     sv = StreamingVocoder(gen, params, chunk_frames=16, blocked=False)
-    T = sv.window - 3  # shorter than one window -> padded fallback
+    T = sv.window - sv.halo  # longest single-dispatch fallback length
     mel = _mel(rng_np, TINY["num_mels"], T)
     chunks = list(sv.stream(mel))
     assert len(chunks) == 1
     assert chunks[0].shape == (T * sv.up,)
-    # the pad uses the mel log-floor; interior samples (away from the
-    # right edge by the receptive field) still match the exact run
-    want = np.asarray(gen.apply(params, mel[None]))[0]
-    safe = (T - mel_halo_frames(gen)) * sv.up
-    np.testing.assert_allclose(chunks[0][:safe], want[:safe],
-                               rtol=0, atol=2e-6)
+    # the fallback buffer keeps >= halo floor frames past T, so the
+    # whole chunk -- tail included -- equals the floor-padded full run
+    want = _full_run(gen, params, mel, sv.window)
+    np.testing.assert_allclose(chunks[0], want, rtol=0, atol=2e-6)
+
+
+def test_tail_exact_within_halo_of_one_window(tiny_gen, rng_np):
+    """Regression: for T in (window - halo, window) the old fallback's
+    floor buffer ended inside the tail receptive field, so the conv's
+    zero-SAME padding (mel 0.0, not the log(1e-5) floor) leaked into
+    the last samples; those lengths must stream exactly (they now take
+    the windowed loop)."""
+    gen, params = tiny_gen
+    sv = StreamingVocoder(gen, params, chunk_frames=16, blocked=False)
+    for T in (sv.window - sv.halo + 1, sv.window - 1):
+        mel = _mel(rng_np, TINY["num_mels"], T)
+        want = _full_run(gen, params, mel, sv.window)
+        got = np.concatenate(list(sv.stream(mel)))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=0, atol=2e-6)
 
 
 def test_stream_blocked_matches_plain(tiny_gen, rng_np):

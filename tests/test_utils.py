@@ -151,3 +151,45 @@ def test_np_import_guard():
     import daft_exprt_tpu.utils as u
     assert not hasattr(u, "jax")
     assert np is not None
+
+
+def test_enable_compile_cache_never_initializes_backend():
+    """Calling enable_compile_cache at import time (as the CLI scripts
+    do) must not initialize the JAX backend: jax.distributed.initialize
+    for multi-host training only works before any backend exists. Run
+    in a clean subprocess with JAX_PLATFORMS unset -- the worst case:
+    the backend cannot be read, so the decision must come from env/
+    config without touching xla_bridge."""
+    import subprocess
+    import sys
+
+    code = (
+        "import os; os.environ.pop('JAX_PLATFORMS', None)\n"
+        "from daft_exprt_tpu.utils import enable_compile_cache\n"
+        "cache = enable_compile_cache()\n"
+        "from jax._src import xla_bridge\n"
+        "assert not xla_bridge.backends_are_initialized(), \\\n"
+        "    'enable_compile_cache initialized the backend'\n"
+        # backend init comes only now; pin it to CPU so the subprocess
+        # never contends for an attached accelerator
+        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        "import jax\n"
+        "jax.distributed.initialize('127.0.0.1:12399', 1, 0)\n"
+        "assert jax.process_count() == 1\n"
+    )
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("JAX_PLATFORM_NAME", None)
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+
+def test_enable_compile_cache_skips_explicit_cpu(tmp_path, monkeypatch):
+    """With JAX_PLATFORMS=cpu (tests, dryruns) the persistent cache
+    stays disabled -- XLA:CPU AOT entries risk SIGILL on reload."""
+    from daft_exprt_tpu.utils import enable_compile_cache
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    monkeypatch.setenv("DAFT_EXPRT_COMPILE_CACHE", str(tmp_path / "c"))
+    assert enable_compile_cache() == ""
+    assert not (tmp_path / "c").exists()
