@@ -36,8 +36,11 @@ def enable_compile_cache(min_compile_secs: float = 5.0) -> str:
     otherwise CPU-ness comes from ``JAX_PLATFORMS``/``jax_platforms``
     (which every CPU test/dryrun entry point sets -- tests/conftest.py,
     __graft_entry__.py). If neither source resolves, the cache is
-    enabled: accelerator production runs rely on it, and the AOT layer
-    independently fingerprints host CPU features (aot.py).
+    enabled only on positive accelerator evidence (a discovered PJRT
+    plugin factory beyond jax's unconditional cpu/tpu pair, or an
+    importable libtpu) -- a bare CPU host with no env set must NOT
+    fall through to an enabled cache, or the XLA:CPU hazard above
+    returns through the back door.
     """
     import os
 
@@ -58,6 +61,26 @@ def enable_compile_cache(min_compile_secs: float = 5.0) -> str:
             except AttributeError:
                 platforms = ""
         backend = platforms.split(",")[0].strip().lower()
+    if not backend:
+        # Still unresolved (nothing initialized, no platform env). Look
+        # for accelerator evidence WITHOUT initializing: jax registers
+        # "cpu" and "tpu" factories unconditionally, so only a plugin
+        # factory beyond that pair (cuda/rocm/axon/...) or an actually
+        # importable libtpu proves an accelerator is present.
+        try:
+            from jax._src import xla_bridge
+            extra = set(xla_bridge._backend_factories) - {"cpu", "tpu"}
+        except (ImportError, AttributeError):
+            extra = set()
+        if extra:
+            backend = next(iter(extra))
+        else:
+            import importlib.util
+            try:
+                has_libtpu = importlib.util.find_spec("libtpu") is not None
+            except (ImportError, ValueError):
+                has_libtpu = False
+            backend = "tpu" if has_libtpu else "cpu"
     if backend == "cpu":
         # XLA:CPU AOT cache entries embed machine-feature pseudo-flags
         # (+prefer-no-scatter etc.) that can mismatch on reload and risk

@@ -172,9 +172,12 @@ Track TrackPitch(const std::vector<double>& raw, int fs, double interval,
   const std::vector<double> x = Filter(raw, HighpassKernel(fs));
   const int min_lag = std::max(2, (int)std::floor(fs / max_f0));
   const int max_lag = (int)std::ceil(fs / min_f0);
-  const int window = std::max(2, (int)std::lround(kWindowSec * fs));
+  // std::nearbyint under the default FE_TONEAREST mode rounds half to
+  // even, matching Python round() in audio/pitch.py (std::lround would
+  // round half away from zero and shift the frame grid at .5 products).
+  const int window = std::max(2, (int)std::nearbyint(kWindowSec * fs));
   const int step =
-      std::max(1, (int)std::lround(interval * fs / kOversample));
+      std::max(1, (int)std::nearbyint(interval * fs / kOversample));
   const int64_t last = (int64_t)x.size() - (window + max_lag);
   if (last < 0) return track;
   for (int64_t s = 0; s <= last; s += step) track.starts.push_back(s);
@@ -308,7 +311,7 @@ int main(int argc, char** argv) {
       const int64_t end = (i + 1 < track.starts.size())
                               ? track.starts[i + 1]
                               : (int64_t)out.size();
-      const int16_t value = (int16_t)std::lround(track.f0[i]);
+      const int16_t value = (int16_t)std::nearbyint(track.f0[i]);
       for (int64_t s = begin; s < end; ++s) out[s] = value;
     }
   }

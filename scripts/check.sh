@@ -24,72 +24,76 @@ base="${1:-HEAD}"
 changed=$( { git diff --name-only "$base"; git diff --name-only --cached; \
              git ls-files --others --exclude-standard; } | sort -u )
 
-# map changed sources to the test modules that exercise them
-declare -A want=()
+# map changed sources to the test modules that exercise them.
+# plain newline list + sort -u (not an associative array): portable to
+# bash 3.2 (macOS default) and safe under set -u when empty.
+want=""
+add() { want="$want$1
+"; }
 for f in $changed; do
     case "$f" in
-        tests/test_*.py)            want[$f]=1 ;;
+        tests/test_*.py)            add $f ;;
         tests/helpers.py|tests/conftest.py)
             # shared fixtures: run every e2e module that fabricates
             # checkpoints with them
             for t in tests/test_cli.py tests/test_serve.py \
                      tests/test_style_bank.py tests/test_pipeline.py; do
-                want[$t]=1; done ;;
+                add $t; done ;;
         daft_exprt_tpu/*|native/*|scripts/*.py|scripts/evaluation/*|tools/*.py|__graft_entry__.py)
             stem=$(basename "$f" .py)
             # direct name match (pitch -> test_pitch, mel -> test_mel, ...)
             for t in tests/test_"$stem"*.py; do
-                [[ -e "$t" ]] && want[$t]=1; done
+                [[ -e "$t" ]] && add $t; done
             # subsystem map for files whose tests live under other names
             case "$f" in
                 daft_exprt_tpu/audio/pitch*|daft_exprt_tpu/bin/*|native/*)
-                    want[tests/test_pitch.py]=1
-                    want[tests/test_reaper_golden.py]=1 ;;
+                    add tests/test_pitch.py
+                    add tests/test_reaper_golden.py ;;
                 daft_exprt_tpu/inference/*)
-                    want[tests/test_cli.py]=1
-                    want[tests/test_style_bank.py]=1
-                    want[tests/test_serve.py]=1
-                    want[tests/test_output_bucketing.py]=1
-                    want[tests/test_film_cache.py]=1
-                    want[tests/test_inference_mesh.py]=1 ;;
+                    add tests/test_cli.py
+                    add tests/test_style_bank.py
+                    add tests/test_serve.py
+                    add tests/test_output_bucketing.py
+                    add tests/test_film_cache.py
+                    add tests/test_inference_mesh.py ;;
                 daft_exprt_tpu/training/*)
-                    want[tests/test_train_step.py]=1
-                    want[tests/test_pipeline.py]=1
-                    want[tests/test_checkpoint.py]=1
-                    want[tests/test_loss.py]=1 ;;
+                    add tests/test_train_step.py
+                    add tests/test_pipeline.py
+                    add tests/test_checkpoint.py
+                    add tests/test_loss.py ;;
                 daft_exprt_tpu/models/*|daft_exprt_tpu/ops/*)
-                    want[tests/test_model.py]=1
-                    want[tests/test_modules.py]=1
-                    want[tests/test_torch_parity.py]=1 ;;
+                    add tests/test_model.py
+                    add tests/test_modules.py
+                    add tests/test_torch_parity.py ;;
                 daft_exprt_tpu/vocoder/*)
-                    want[tests/test_vocoder.py]=1
-                    want[tests/test_vocoder_train.py]=1
-                    want[tests/test_streaming_vocoder.py]=1
-                    want[tests/test_fused_vocoder.py]=1
-                    want[tests/test_mrf_vocoder.py]=1
-                    want[tests/test_serve.py]=1 ;;
+                    add tests/test_vocoder.py
+                    add tests/test_vocoder_train.py
+                    add tests/test_streaming_vocoder.py
+                    add tests/test_fused_vocoder.py
+                    add tests/test_mrf_vocoder.py
+                    add tests/test_serve.py ;;
                 daft_exprt_tpu/data/*)
-                    want[tests/test_pipeline.py]=1 ;;
+                    add tests/test_pipeline.py ;;
                 daft_exprt_tpu/parallel/*|daft_exprt_tpu/aot.py)
-                    want[tests/test_train_step.py]=1
-                    want[tests/test_inference_mesh.py]=1
-                    want[tests/test_aot_cache.py]=1 ;;
-                scripts/serve.py)  want[tests/test_serve.py]=1 ;;
+                    add tests/test_train_step.py
+                    add tests/test_inference_mesh.py
+                    add tests/test_aot_cache.py ;;
+                scripts/serve.py)  add tests/test_serve.py ;;
                 scripts/synthesize.py|scripts/evaluation/*)
-                    want[tests/test_cli.py]=1
-                    want[tests/test_style_bank.py]=1 ;;
+                    add tests/test_cli.py
+                    add tests/test_style_bank.py ;;
                 scripts/training.py|scripts/train_vocoder.py)
-                    want[tests/test_pipeline.py]=1
-                    want[tests/test_vocoder_train.py]=1 ;;
+                    add tests/test_pipeline.py
+                    add tests/test_vocoder_train.py ;;
                 tools/convert_checkpoint.py|tools/export_acoustic_torch.py)
-                    want[tests/test_torch_parity.py]=1
-                    want[tests/test_checkpoint.py]=1 ;;
+                    add tests/test_torch_parity.py
+                    add tests/test_checkpoint.py ;;
             esac ;;
     esac
 done
 
-targets=$(printf '%s\n' "${!want[@]}" | while read -r t; do
-              [[ -e "$t" ]] && echo "$t"; done | sort -u)
+targets=$(printf '%s' "$want" | sort -u | while read -r t; do
+              [[ -n "$t" && -e "$t" ]] && echo "$t" || true; done)
 
 echo "== fast tier =="
 python -m pytest tests/ -m fast -q --no-header

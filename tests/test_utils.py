@@ -160,9 +160,14 @@ def test_enable_compile_cache_never_initializes_backend():
     in a clean subprocess with JAX_PLATFORMS unset -- the worst case:
     the backend cannot be read, so the decision must come from env/
     config without touching xla_bridge."""
+    import socket
     import subprocess
     import sys
 
+    # ephemeral free port: a fixed port flakes under concurrent suites
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
     code = (
         "import os; os.environ.pop('JAX_PLATFORMS', None)\n"
         "from daft_exprt_tpu.utils import enable_compile_cache\n"
@@ -174,7 +179,7 @@ def test_enable_compile_cache_never_initializes_backend():
         # never contends for an attached accelerator
         "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
         "import jax\n"
-        "jax.distributed.initialize('127.0.0.1:12399', 1, 0)\n"
+        f"jax.distributed.initialize('127.0.0.1:{port}', 1, 0)\n"
         "assert jax.process_count() == 1\n"
     )
     env = dict(os.environ)
@@ -183,6 +188,64 @@ def test_enable_compile_cache_never_initializes_backend():
     r = subprocess.run([sys.executable, "-c", code], env=env,
                        capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, r.stderr[-2000:]
+
+
+def test_enable_compile_cache_failsafe_bare_cpu_host(tmp_path, monkeypatch):
+    """A bare CPU host (backend uninitialized, no JAX_PLATFORMS, no
+    plugin factories beyond jax's unconditional cpu/tpu pair, no
+    libtpu) must NOT enable the persistent cache -- that is exactly the
+    XLA:CPU poisoned-AOT hazard the guard exists for."""
+    import importlib.util
+
+    from jax._src import xla_bridge
+
+    from daft_exprt_tpu.utils import enable_compile_cache
+
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    monkeypatch.setenv("DAFT_EXPRT_COMPILE_CACHE", str(tmp_path / "c"))
+    monkeypatch.setattr(xla_bridge, "backends_are_initialized",
+                        lambda: False)
+    monkeypatch.setattr(xla_bridge, "_backend_factories",
+                        {"cpu": None, "tpu": None})
+    real_find_spec = importlib.util.find_spec
+    monkeypatch.setattr(importlib.util, "find_spec",
+                        lambda name: None if name == "libtpu"
+                        else real_find_spec(name))
+    import jax
+    old = jax.config.jax_platforms
+    jax.config.update("jax_platforms", None)
+    try:
+        assert enable_compile_cache() == ""
+    finally:
+        jax.config.update("jax_platforms", old)
+    assert not (tmp_path / "c").exists()
+
+
+def test_enable_compile_cache_enables_on_plugin_factory(tmp_path,
+                                                        monkeypatch):
+    """With a discovered accelerator plugin factory (cuda/axon/...) the
+    cache IS enabled even when nothing else resolves -- production
+    accelerator runs rely on it."""
+    from jax._src import xla_bridge
+
+    from daft_exprt_tpu.utils import enable_compile_cache
+
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    monkeypatch.setenv("DAFT_EXPRT_COMPILE_CACHE", str(tmp_path / "c"))
+    monkeypatch.setattr(xla_bridge, "backends_are_initialized",
+                        lambda: False)
+    monkeypatch.setattr(xla_bridge, "_backend_factories",
+                        {"cpu": None, "tpu": None, "cuda": None})
+    import jax
+    old_platforms = jax.config.jax_platforms
+    old_cache_dir = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_platforms", None)
+    try:
+        assert enable_compile_cache() == str(tmp_path / "c")
+    finally:
+        jax.config.update("jax_platforms", old_platforms)
+        jax.config.update("jax_compilation_cache_dir", old_cache_dir)
+    assert (tmp_path / "c").exists()
 
 
 def test_enable_compile_cache_skips_explicit_cpu(tmp_path, monkeypatch):
