@@ -122,6 +122,10 @@ def _expand_dollars(m):
     parts = match.split(".")
     if len(parts) > 2:
         return match + " dollars"
+    # Commas in well-formed amounts ($1,200.50) were already removed by
+    # _remove_commas (digit,digit only); malformed leftovers like "$,4"
+    # must not crash the cleaner (serving feeds it arbitrary user text).
+    parts = [p.replace(",", "") for p in parts]
     dollars = int(parts[0]) if parts[0] else 0
     cents = int(parts[1]) if len(parts) > 1 and parts[1] else 0
     if dollars and cents:

@@ -74,6 +74,10 @@ for f in $changed; do
                     add tests/test_serve.py ;;
                 daft_exprt_tpu/data/*)
                     add tests/test_pipeline.py ;;
+                daft_exprt_tpu/text/*)
+                    add tests/test_text.py
+                    add tests/test_text_fuzz.py
+                    add tests/test_phonemizer.py ;;
                 daft_exprt_tpu/parallel/*|daft_exprt_tpu/aot.py)
                     add tests/test_train_step.py
                     add tests/test_inference_mesh.py
