@@ -174,6 +174,17 @@ def make_eval_step(model, hp, mesh=None):
                                    row_weights=row_mask)
         indiv = dict(indiv)
         indiv["loss"] = loss
+        # Adversary diagnostic: classifier top-1 accuracy on the prosody
+        # embedding. The disentanglement signature of the adversarial
+        # schedule (reference loss.py:22-28) is this accuracy degrading
+        # toward chance (1/n_classes) as the reversal weight ramps.
+        speaker_preds = outputs[0]
+        speaker_ids = batch["speaker_ids"]
+        hits = (jnp.argmax(speaker_preds, axis=-1)
+                == speaker_ids).astype(jnp.float32)
+        w = row_mask.astype(jnp.float32)
+        indiv["speaker_accuracy"] = (jnp.sum(hits * w)
+                                     / jnp.maximum(jnp.sum(w), 1.0))
         n = jnp.sum(row_mask.astype(jnp.float32))
         if distributed:
             # unequal valid counts per shard: reduce as weighted sums,

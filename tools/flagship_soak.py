@@ -1,0 +1,325 @@
+"""Flagship convergence soak: the SHIPPED architecture, full loss, TPU.
+
+The reference's deliverable is a model trained 370k iterations at
+hidden-128 / 4+4+4 FFT blocks / heads 8-2-2 with the complete loss
+(adversarial speaker CE behind gradient reversal with the 10k-step
+warmup ramp, FiLM post-multiplier L2 penalty, three prosody MSEs,
+mel L1+L2) — /root/reference/src/daft_exprt/train.py:612-638,
+hparams.py:63, hparams.py:90-128. Prior rounds proved a tiny 2-block
+stack learns (tools/learning_soak.py); this soak trains the flagship
+config itself for thousands of optimizer steps on the real chip and
+pins the signatures that only appear at scale:
+
+  * val mel-L1 and all three prosody losses decreasing;
+  * the DISENTANGLEMENT signature: speaker-classifier accuracy on the
+    prosody embedding rising early (adversarial weight ~0) and then
+    degrading toward chance (1/n_classes) as the reversal weight ramps
+    (reference loss.py:22-28 schedule, kept exactly);
+  * best-model checkpointing and Griffin-Lim benchmark audio artifacts
+    actually firing mid-run;
+  * steps/s recorded for cross-checking against bench.py.
+
+Corpus: synthetic but SPEAKER-DISTINGUISHABLE — each of the 6 speakers
+speaks at a distinct base F0 (100..300 Hz) with speaker-specific
+harmonic timbre, so speaker identity is genuinely decodable from the
+prosody-encoder inputs (raw log-F0 frames + mel). Utterances span 1-6
+words for a realistic multi-bucket length distribution.
+
+Run: python tools/flagship_soak.py [--iters 10000] [--out DIR]
+Writes a markdown log with the validation table to --log (default
+docs/SOAK_FLAGSHIP_r04.md is written by the driver run, see docs).
+"""
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.realpath(__file__)))
+sys.path.insert(0, _ROOT)
+sys.path.insert(0, os.path.join(_ROOT, "tests"))
+
+import numpy as np
+
+import logging
+logging.basicConfig(level=logging.INFO,
+                    format="%(asctime)s %(levelname)s %(message)s")
+_logger = logging.getLogger("flagship_soak")
+
+FS = 22050
+
+# phone inventory for the synthetic lexicon (subset of symbols.py's
+# stressed ARPAbet — must exist in SYMBOLS_ENGLISH)
+_WORDS = [
+    ("hello", ["HH", "AH0", "L", "OW1"]),
+    ("world", ["W", "ER1", "L", "D"]),
+    ("sweet", ["S", "W", "IY1", "T"]),
+    ("morning", ["M", "AO1", "R", "N", "IH0", "NG"]),
+    ("river", ["R", "IH1", "V", "ER0"]),
+    ("sun", ["S", "AH1", "N"]),
+    ("bright", ["B", "R", "AY1", "T"]),
+    ("calm", ["K", "AA1", "M"]),
+    ("voices", ["V", "OY1", "S", "IH0", "Z"]),
+    ("echo", ["EH1", "K", "OW0"]),
+]
+
+# distinct per-speaker acoustics: base F0 (Hz), vibrato depth, timbre
+_SPEAKERS = {
+    "spk_low":    (100.0, 8.0, (0.6, 0.25, 0.10)),
+    "spk_mid1":   (140.0, 12.0, (0.5, 0.30, 0.15)),
+    "spk_mid2":   (180.0, 10.0, (0.4, 0.40, 0.12)),
+    "spk_high1":  (220.0, 15.0, (0.55, 0.20, 0.20)),
+    "spk_high2":  (260.0, 9.0, (0.45, 0.35, 0.08)),
+    "spk_top":    (300.0, 14.0, (0.5, 0.28, 0.18)),
+}
+
+
+def build_corpus(root, utts_per_speaker, rng):
+    """Speaker-distinguishable synthetic corpus with varied lengths."""
+    from test_pipeline import _write_textgrid
+    from daft_exprt_tpu.audio.io import save_wav
+
+    dataset_dir = os.path.join(root, "dataset")
+    features_dir = os.path.join(root, "features")
+    for spk, (f0_base, vib, timbre) in _SPEAKERS.items():
+        wavs = os.path.join(dataset_dir, spk, "wavs")
+        align = os.path.join(dataset_dir, spk, "align")
+        os.makedirs(wavs, exist_ok=True)
+        os.makedirs(align, exist_ok=True)
+        os.makedirs(os.path.join(features_dir, spk), exist_ok=True)
+        meta = []
+        for i in range(utts_per_speaker):
+            name = f"{spk}_utt{i:03d}"
+            n_words = 1 + int(rng.integers(0, 6))
+            picks = rng.choice(len(_WORDS), size=n_words, replace=True)
+            words, text = [], []
+            for w_i in picks:
+                w, phones = _WORDS[int(w_i)]
+                durs = [(p, 0.09 + 0.08 * rng.random()) for p in phones]
+                words.append((w, durs))
+                text.append(w)
+            total = _write_textgrid(
+                os.path.join(align, f"{name}.TextGrid"), words)
+            t = np.arange(int(total * FS)) / FS
+            # speaker-specific F0 contour + per-utterance wander
+            f0 = (f0_base + vib * np.sin(2 * np.pi * 1.5 * t)
+                  + 10.0 * np.sin(2 * np.pi * 0.4 * t + rng.random() * 6))
+            phase = 2 * np.pi * np.cumsum(f0) / FS
+            a1, a2, a3 = timbre
+            wav = (a1 * np.sin(phase) + a2 * np.sin(2 * phase)
+                   + a3 * np.sin(3 * phase)).astype(np.float32)
+            # mild amplitude modulation so energy carries information
+            wav *= (0.7 + 0.3 * np.sin(2 * np.pi * 2.0 * t
+                                       + rng.random() * 6)
+                    ).astype(np.float32)
+            save_wav(os.path.join(wavs, f"{name}.wav"), wav, FS)
+            sentence = " ".join(text)
+            meta.append(f"{name}|{sentence}\n")
+            with open(os.path.join(align, f"{name}.lab"), "w") as f:
+                f.write(sentence)
+        for d in (os.path.join(dataset_dir, spk),
+                  os.path.join(features_dir, spk)):
+            with open(os.path.join(d, "metadata.csv"), "w") as f:
+                f.writelines(meta)
+    return dataset_dir, features_dir
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=10000)
+    ap.add_argument("--utts_per_speaker", type=int, default=60)
+    ap.add_argument("--out", default="/tmp/daft_exprt_flagship_soak")
+    ap.add_argument("--log", default=None,
+                    help="markdown log path (default <out>/SOAK.md)")
+    ap.add_argument("--val_every", type=int, default=500)
+    ap.add_argument("--bench_every", type=int, default=2500,
+                    help="min iterations between GL benchmark syntheses")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu for a shakeout "
+                    "run; default: attached accelerator)")
+    args = ap.parse_args()
+
+    from daft_exprt_tpu.utils import enable_compile_cache
+    enable_compile_cache()
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    from daft_exprt_tpu.config import HyperParams
+    from daft_exprt_tpu.data.mfa import extract_markers
+    from daft_exprt_tpu.data.features import extract_features
+    from daft_exprt_tpu.data.sets import create_sets
+    from daft_exprt_tpu.data.stats import extract_features_stats
+    from daft_exprt_tpu.inference.benchmark import make_benchmark_hook
+    from daft_exprt_tpu.training.trainer import Trainer
+
+    root = args.out
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    rng = np.random.default_rng(0)
+
+    # ---- corpus + preprocessing (device-batched mel + NCCF pitch) ----
+    t0 = time.time()
+    dataset_dir, features_dir = build_corpus(
+        root, args.utts_per_speaker, rng)
+    exp_dir = os.path.join(root, "exp")
+    os.makedirs(exp_dir, exist_ok=True)
+    # FLAGSHIP config: every architecture field is the shipped default
+    # (4+4+4 blocks, hidden 128, heads 8/2/2, conv 1024 — config.py
+    # defaults mirror reference hparams.py:90-128). Only run-control
+    # fields are set here.
+    hp = HyperParams(
+        training_files=os.path.join(exp_dir, "train.txt"),
+        validation_files=os.path.join(exp_dir, "val.txt"),
+        output_directory=exp_dir,
+        language="english",
+        speakers=sorted(_SPEAKERS),
+        compute_dtype="bfloat16",
+    )
+    for spk in hp.speakers:
+        extract_markers(os.path.join(dataset_dir, spk, "align"), n_jobs=4)
+    extract_features(dataset_dir, features_dir, hp, n_jobs=4,
+                     device_pitch=True)
+    create_sets(features_dir, hp, proportion_validation=0.1)
+    hp.stats = extract_features_stats(hp, n_jobs=4)
+    _logger.info("corpus + features in %.0fs", time.time() - t0)
+
+    # shipped effective batch 48 = 16 x 3 (reference hparams.py:66-67)
+    hp.iters_per_checkpoint = 5000
+    hp.iters_check_for_model_improvement = args.val_every
+    hp.nb_iterations = args.iters
+
+    # two-sentence benchmark file so the GL hook is exercised without
+    # dominating wall time (the repo's 18-sentence bank is for real runs)
+    bench_root = os.path.join(root, "bench_scripts")
+    os.makedirs(os.path.join(bench_root, "benchmarks", hp.language),
+                exist_ok=True)
+    # pre-phonemized {PHONE ...} format: the MFA dictionary/g2p models
+    # are not installed in this environment (reference generate.py:94
+    # treats them as external), and the lexicon is synthetic anyway
+    lex = dict(_WORDS)
+    with open(os.path.join(bench_root, "benchmarks", hp.language,
+                           "sentences.txt"), "w") as f:
+        for sent in (["river", "sweet", "morning"],
+                     ["hello", "bright", "world"]):
+            f.write(" ".join("{%s}" % " ".join(lex[w]) for w in sent)
+                    + "\n")
+    inner_hook = make_benchmark_hook(hp, bench_root)
+    hook_fired = []
+
+    def rate_limited_hook(params, iteration, output_dir):
+        if hook_fired and iteration - hook_fired[-1] < args.bench_every:
+            return
+        hook_fired.append(iteration)
+        inner_hook(params, iteration, output_dir)
+
+    # ---- trainer with a validation probe ----
+    history = {}
+
+    class Probe(Trainer):
+        def validate(self, params, val_loader):
+            out = super().validate(params, val_loader)
+            history[self.iteration] = dict(out)
+            acc = out.get("speaker_accuracy", float("nan"))
+            _logger.info(
+                "val @ %d: loss=%.4f mel_l1=%.4f dur=%.4f pitch=%.4f "
+                "energy=%.4f spk_acc=%.3f", self.iteration, out["loss"],
+                out["mel_spec_l1_loss"], out["duration_loss"],
+                out["pitch_loss"], out["energy_loss"], acc)
+            return out
+
+    trainer = Probe(hp, log_every=100)
+    params0, opt0 = trainer.init_state()
+    n_params = trainer.model.num_params(params0)
+    _, val_loader = trainer.make_loaders()
+    history[0] = dict(trainer.validate(params0, val_loader))
+
+    t0 = time.time()
+    params, _ = trainer.train(params=params0, opt_state=opt0,
+                              benchmark_hook=rate_limited_hook,
+                              max_iterations=args.iters)
+    wall = time.time() - t0
+    steps_per_sec = args.iters / wall
+    _logger.info("%d iterations in %.0fs (%.2f steps/s)",
+                 args.iters, wall, steps_per_sec)
+
+    # ---- evidence table + assertions ----
+    iters = sorted(history)
+    first, last = history[iters[0]], history[iters[-1]]
+    n_classes = len(hp.speakers)
+    chance = 1.0 / n_classes
+    peak_acc_it = max(iters, key=lambda i: history[i].get(
+        "speaker_accuracy", 0.0))
+    peak_acc = history[peak_acc_it].get("speaker_accuracy", float("nan"))
+    final_acc = last.get("speaker_accuracy", float("nan"))
+
+    ckpt_dir = os.path.join(exp_dir, "checkpoints")
+    ckpts = sorted(os.listdir(ckpt_dir)) if os.path.isdir(ckpt_dir) else []
+    bench_dirs = []
+    bdir = os.path.join(exp_dir, "benchmark")
+    if os.path.isdir(bdir):
+        for it_dir in sorted(os.listdir(bdir)):
+            wavs = [f for f in os.listdir(os.path.join(bdir, it_dir))
+                    if f.endswith(".wav")]
+            bench_dirs.append((it_dir, len(wavs)))
+
+    log_path = args.log or os.path.join(root, "SOAK.md")
+    with open(log_path, "w") as f:
+        f.write("# Flagship convergence soak\n\n")
+        f.write(f"- config: shipped flagship (4+4+4 blocks, hidden 128, "
+                f"heads 8/2/2, conv 1024), {n_params:,} params, "
+                f"bf16 compute, full loss with adversarial warmup "
+                f"(warmup_steps={hp.warmup_steps}, "
+                f"adv_max={hp.adv_max_weight}) and FiLM penalty "
+                f"(post_mult_weight={hp.post_mult_weight})\n")
+        f.write(f"- corpus: {len(_SPEAKERS)} speakers x "
+                f"{args.utts_per_speaker} utts, distinct base F0 "
+                f"100-300 Hz, 1-6 words/utt (multi-bucket lengths); "
+                f"effective batch {hp.batch_size}x"
+                f"{hp.accumulation_steps}={hp.batch_size * hp.accumulation_steps}\n")
+        f.write(f"- device: {jax.devices()[0].device_kind}; "
+                f"{args.iters} optimizer steps in {wall:.0f}s = "
+                f"**{steps_per_sec:.2f} steps/s**\n")
+        f.write(f"- checkpoints written: {ckpts}\n")
+        f.write(f"- GL benchmark artifacts: "
+                f"{[(d, f'{n} wavs') for d, n in bench_dirs]}\n\n")
+        f.write("| iter | adv weight | loss | mel L1 | dur | pitch | "
+                "energy | spk acc (chance %.3f) |\n" % chance)
+        f.write("|---|---|---|---|---|---|---|---|\n")
+        for it in iters:
+            h = history[it]
+            w = min(hp.adv_max_weight,
+                    it * hp.warmup_steps ** -1.5
+                    * hp.adv_max_weight / hp.warmup_steps ** -0.5)
+            f.write(f"| {it} | {w:.2e} | {h['loss']:.4f} | "
+                    f"{h['mel_spec_l1_loss']:.4f} | "
+                    f"{h['duration_loss']:.5f} | {h['pitch_loss']:.5f} | "
+                    f"{h['energy_loss']:.5f} | "
+                    f"{h.get('speaker_accuracy', float('nan')):.3f} |\n")
+        f.write(f"\nSpeaker-classifier accuracy peaked at "
+                f"{peak_acc:.3f} (iter {peak_acc_it}) and ended at "
+                f"{final_acc:.3f}; chance = {chance:.3f}.\n")
+    print(f"log written to {log_path}")
+    with open(os.path.join(root, "history.json"), "w") as f:
+        json.dump({str(k): {kk: float(vv) for kk, vv in v.items()}
+                   for k, v in history.items()}, f, indent=1)
+
+    # hard convergence gates
+    assert last["mel_spec_l1_loss"] < first["mel_spec_l1_loss"] * 0.5, \
+        "flagship mel L1 must at least halve"
+    for k in ("duration_loss", "pitch_loss", "energy_loss"):
+        assert last[k] < first[k], f"{k} must decrease"
+    assert ckpts, "checkpoints must exist"
+    # earliest checkpoints may predict degenerate (zero-frame) durations;
+    # the LAST benchmark synthesis must produce audio
+    assert bench_dirs and bench_dirs[-1][1] > 0, \
+        f"GL benchmark audio must have been synthesized: {bench_dirs}"
+    print(f"FLAGSHIP SOAK OK: mel L1 {first['mel_spec_l1_loss']:.3f} -> "
+          f"{last['mel_spec_l1_loss']:.3f}, spk acc peak "
+          f"{peak_acc:.3f} -> final {final_acc:.3f} (chance {chance:.3f}), "
+          f"{steps_per_sec:.2f} steps/s")
+
+
+if __name__ == "__main__":
+    main()
