@@ -212,7 +212,92 @@ def _p50_short_utterance_ms(model, hp, params):
             fused_device_ms, T_max)
 
 
-def _train_steps_per_sec(hp):
+def _repeat_stats(values) -> dict:
+    """p5/p50/p95 across repeated measurement windows."""
+    v = np.asarray(values, np.float64)
+    return {"p5": round(float(np.percentile(v, 5)), 2),
+            "p50": round(float(np.percentile(v, 50)), 2),
+            "p95": round(float(np.percentile(v, 95)), 2),
+            "repeats": len(values)}
+
+
+def _train_step_op_classes(step, params, opt_state, batch, rng_key, it,
+                           n_steps: int = 3) -> dict | None:
+    """Machine-readable device-time breakdown of the train step.
+
+    Aggregates a profiler trace of ``n_steps`` steps into op-CLASS
+    milliseconds per step (fusion kinds, the custom Pallas kernels,
+    convolutions, dots), so a regression in any region — including the
+    non-kernel residual (upsampling gathers, optimizer, transposes) —
+    is visible round-over-round in BENCH detail instead of hiding
+    inside the aggregate steps/s.
+    """
+    from daft_exprt_tpu.utils import aggregate_device_trace
+
+    try:
+        trace_dir = "/tmp/daft_bench_train_trace"
+        os.system(f"rm -rf {trace_dir}")
+        jax.profiler.start_trace(trace_dir)
+        try:
+            for _ in range(n_steps):
+                params, opt_state, metrics = step(params, opt_state,
+                                                  batch, rng_key, it)
+            jax.block_until_ready(metrics)
+        finally:
+            jax.profiler.stop_trace()
+        agg, _ = aggregate_device_trace(trace_dir, level="ops")
+        mod, _ = aggregate_device_trace(trace_dir, level="modules")
+        step_total = sum(v for k, v in mod.items()
+                         if k.startswith("jit")) / n_steps
+
+        classes = {}
+        kernel_ms = 0.0
+        for name, ms in agg.items():
+            base = name.split(".")[0].split("(")[0].strip().lower()
+            # Pallas kernels surface as custom calls carrying the
+            # kernel function name
+            if any(k in name for k in ("attention", "fft_block",
+                                       "conv_ff", "mosaic", "tpu_custom")):
+                base = "pallas_kernels"
+                kernel_ms += ms
+            classes[base] = classes.get(base, 0.0) + ms / n_steps
+        top = dict(sorted(classes.items(), key=lambda kv: -kv[1])[:12])
+        return {
+            "step_device_ms": round(step_total, 3),
+            "pallas_kernel_ms": round(kernel_ms / n_steps, 3),
+            "op_class_ms": {k: round(v, 3) for k, v in top.items()},
+        }
+    except Exception:
+        return None
+
+
+def _padding_efficiency(hp) -> dict | None:
+    """Padding waste of the shipped bucket settings on an LJ+ESD-like
+    length histogram (tools/padding_report.py's corpus model). The
+    train bench runs full-length synthetic rows; real corpora pay
+    ``frame_pad_frac`` of that compute as padding, so BENCH reports
+    ``effective_steps_per_sec`` = steps/s x (1 - frame_pad_frac)."""
+    try:
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "padding_report", os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "tools",
+                "padding_report.py"))
+        pr = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(pr)
+        from daft_exprt_tpu.data.loader import padding_report
+        lengths = pr.sample_corpus("lj_esd", 16600,
+                                   np.random.default_rng(0))
+        rep = padding_report(lengths, hp, seed=hp.seed)
+        return {"frame_pad_frac": round(rep["frame_pad_frac"], 4),
+                "symbol_pad_frac": round(rep["symbol_pad_frac"], 4),
+                "attn_pad_frac": round(rep["frame_pad_frac_sq"], 4),
+                "shapes_per_epoch": rep["unique_shapes"]}
+    except Exception:
+        return None
+
+
+def _train_steps_per_sec(hp, with_breakdown: bool = False):
     """Full train step (grad accum 3 x batch 16, dropout, Adam) rate."""
     import jax.numpy as jnp
 
@@ -257,18 +342,24 @@ def _train_steps_per_sec(hp):
         params, opt_state, metrics = step(params, opt_state, batch,
                                           rng_key, it)
     jax.block_until_ready(metrics)
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        params, opt_state, metrics = step(params, opt_state, batch,
-                                          rng_key, it)
-    # fetch the final loss to host (stronger than block_until_ready:
-    # the tunnel transport has been observed reporting readiness early
-    # under host load, inflating steps/s past hardware peak); the fetch
-    # must not live inside the assert -- python -O strips asserts
-    final_loss = float(metrics["loss"])
-    steps_per_sec = iters / (time.perf_counter() - t0)
-    assert np.isfinite(final_loss)
+    # 3 repeats x 15 steps: dispersion across windows separates noise
+    # from regression (VERDICT r3: single 10-iter windows were too thin)
+    rates = []
+    for _ in range(3):
+        iters = 15
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            params, opt_state, metrics = step(params, opt_state, batch,
+                                              rng_key, it)
+        # fetch the final loss to host (stronger than block_until_ready:
+        # the tunnel transport has been observed reporting readiness
+        # early under host load, inflating steps/s past hardware peak);
+        # the fetch must not live inside the assert -- python -O strips
+        # asserts
+        final_loss = float(metrics["loss"])
+        rates.append(iters / (time.perf_counter() - t0))
+        assert np.isfinite(final_loss)
+    steps_per_sec = float(np.median(rates))
     # fwd + bwd ~= 3x fwd matmul FLOPs, per micro-batch
     mfu = None
     peak = _peak_flops(jax.devices()[0])
@@ -276,7 +367,13 @@ def _train_steps_per_sec(hp):
         flops_per_step = 3.0 * accum * _analytic_inference_flops(
             hp, B, L, T, T)
         mfu = round(flops_per_step * steps_per_sec / peak, 4)
-    return steps_per_sec, mfu
+    breakdown = None
+    if with_breakdown:
+        breakdown = _train_step_op_classes(step, params, opt_state,
+                                           batch, rng_key, it)
+        if breakdown is not None:
+            breakdown["steps_per_sec_windows"] = _repeat_stats(rates)
+    return steps_per_sec, mfu, breakdown
 
 
 def _vocoder_rtf():
@@ -494,19 +591,26 @@ def main():
     # doesn't cover this backend.)
     flops_per_call = _analytic_inference_flops(hp, B, L, T, T)
 
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = infer(params, inputs)
-    jax.block_until_ready(out)
-    wall = time.perf_counter() - t0
-
-    # Every call computes B*T mel frames (static shapes); audio seconds
-    # follow the reference RTF accounting: frames * hop / sr.
-    frames = B * T * iters
-    frames_per_sec = frames / wall
-    audio_sec = frames * hp.hop_length / hp.sampling_rate
-    rtf = audio_sec / wall
+    # 5 repeats x 50 iters (~5 s total warm): report the median window
+    # with p5/p95 so round-over-round deltas are separable from jitter
+    # (VERDICT r3 item 7; the old single 20-iter/0.4 s window could not
+    # tell a 1% regression from noise).
+    iters, repeats = 50, 5
+    rtf_windows = []
+    wall_total = 0.0
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = infer(params, inputs)
+        jax.block_until_ready(out)
+        w = time.perf_counter() - t0
+        wall_total += w
+        rtf_windows.append(
+            B * T * iters * hp.hop_length / hp.sampling_rate / w)
+    rtf_stats = _repeat_stats(rtf_windows)
+    rtf = rtf_stats["p50"]
+    wall = wall_total / repeats
+    frames_per_sec = B * T * iters / wall
 
     mfu = None
     if flops_per_call:
@@ -562,10 +666,15 @@ def main():
     (p50_short_bucketed, p50_short_fused, short_bucket,
      short_bucketed_dev_ms, short_fused_dev_ms, short_frame_budget) = \
         _p50_short_utterance_ms(model, hp, params)
-    steps_per_sec, train_mfu = _train_steps_per_sec(hp)
+    steps_per_sec, train_mfu, train_breakdown = _train_steps_per_sec(
+        hp, with_breakdown=True)
     rtf_vocoder = _vocoder_rtf()
     ttfa_ms, full_voc_ms = _streaming_ttfa_ms()
     pre_rtf, pre_mel_rtf, pre_f0_rtf = _preprocess_rtf()
+    padding = _padding_efficiency(hp)
+    effective_steps = round(
+        steps_per_sec * (1.0 - padding["frame_pad_frac"]), 3) \
+        if padding else None
 
     print(json.dumps({
         "metric": "batched_mel_synthesis_rtf",
@@ -593,12 +702,51 @@ def main():
             "short_utt_decode_bucket": short_bucket,
             "short_utt_frame_budget": short_frame_budget,
             "train_steps_per_sec": round(steps_per_sec, 3),
+            "effective_train_steps_per_sec": effective_steps,
             "mfu_train_step": train_mfu,
+            "rtf_windows": rtf_stats,
+            "train_step_breakdown": train_breakdown,
+            "padding_efficiency": padding,
             "batch": B, "max_symbols": L, "max_frames": T,
             "iters": iters, "wall_s": round(wall, 3),
             "device": str(jax.devices()[0]),
         },
+        "flags": _prev_round_flags(rtf, {
+            "train_steps_per_sec": steps_per_sec,
+            "rtf_vocoder_hifigan": rtf_vocoder,
+            "rtf_cached_style_bank": rtf_cached,
+            "preprocess_rtf_device": pre_rtf,
+        }),
     }))
+
+
+def _prev_round_flags(rtf: float, keyed: dict) -> list:
+    """Compare against the last committed BENCH_r*.json; list >5%
+    regressions (or ["no_prior_round"]) so a drop is impossible to miss
+    in the one-line output."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    priors = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
+                    key=lambda p: int(re.findall(r"r(\d+)", p)[-1]))
+    if not priors:
+        return ["no_prior_round"]
+    try:
+        with open(priors[-1]) as f:
+            prev = json.load(f)
+    except (OSError, ValueError):
+        return [f"unreadable:{os.path.basename(priors[-1])}"]
+    flags = []
+    prev_val = prev.get("value")
+    if prev_val and rtf < 0.95 * prev_val:
+        flags.append(f"rtf_regressed:{rtf:.0f}_vs_{prev_val:.0f}")
+    detail = prev.get("detail", {})
+    for k, now in keyed.items():
+        was = detail.get(k)
+        if isinstance(was, (int, float)) and was and now < 0.95 * was:
+            flags.append(f"{k}_regressed:{now:.2f}_vs_{was:.2f}")
+    return flags or ["ok_vs_" + os.path.basename(priors[-1])]
 
 
 if __name__ == "__main__":

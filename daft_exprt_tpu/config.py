@@ -140,10 +140,21 @@ class HyperParams:
         self.compute_dtype = "bfloat16"
         # Static shape buckets (multiples): symbol axis / frame axis are
         # padded up so every batch hits a cached XLA executable.
-        self.symbol_bucket = 32
-        self.frame_bucket = 128
+        # Defaults tuned on an LJ+ESD-like length histogram
+        # (tools/padding_report.py): ~7% frame padding / ~13% attention
+        # (T²) padding at ~30 compiled shapes per epoch. The coarse
+        # (32, 128, 16) setting costs 15% frame / 25% attention waste
+        # for only 2.5x fewer shapes.
+        self.symbol_bucket = 16
+        self.frame_bucket = 64
         self.max_symbols = 256
         self.max_frames = 2048
+        # Epoch-plan length sorting: items are frame-length-sorted
+        # within chunks of batch_size*accumulation_steps*N steps before
+        # batching (larger = more length-homogeneous steps = less
+        # padding, at some shuffle-locality cost; tools/padding_report.py
+        # measures the trade-off on realistic corpora).
+        self.sort_chunk_steps = 64
         # Data-parallel mesh axis size; -1 means all visible devices.
         self.dp_size = -1
         # Training batch assembly: "native" (inline + one prefetch

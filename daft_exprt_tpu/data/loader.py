@@ -170,6 +170,79 @@ def collate(examples, hparams, pad_symbols: int | None = None,
     return out
 
 
+def plan_steps(lengths, hparams, seed: int) -> list:
+    """Deterministic step plan over (n_symbols, n_frames) ``lengths``.
+
+    Shuffles, sorts within coarse chunks by frame length so each step
+    is length-homogeneous (less padding waste) while preserving global
+    shuffle, and computes each step's common (L, T) buckets. Metadata
+    only — callers map the returned indices back to payloads.
+    ``hparams.sort_chunk_steps`` (default 16) sets the locality/
+    homogeneity trade-off: chunks of ``batch_size * accumulation_steps
+    * sort_chunk_steps`` items are length-sorted internally.
+
+    :return: [(idxs, L, T), ...] — every step exactly
+        ``batch_size * accumulation_steps`` indices into ``lengths``.
+    """
+    hp = hparams
+    micro, accum = hp.batch_size, hp.accumulation_steps
+    rng = random.Random(seed)
+    order = list(range(len(lengths)))
+    rng.shuffle(order)
+    chunk = micro * accum * getattr(hp, "sort_chunk_steps", 16)
+    for s in range(0, len(order), chunk):
+        order[s:s + chunk] = sorted(
+            order[s:s + chunk], key=lambda j: lengths[j][1])
+
+    step_size = micro * accum
+    plan = []
+    for b in range(len(order) // step_size):
+        idxs = order[b * step_size:(b + 1) * step_size]
+        L = bucket_size(max(lengths[j][0] for j in idxs),
+                        hp.symbol_bucket, hp.max_symbols)
+        T = bucket_size(max(lengths[j][1] for j in idxs),
+                        hp.frame_bucket, hp.max_frames)
+        plan.append((idxs, L, T))
+    return plan
+
+
+def padding_report(lengths, hparams, seed: int = 0) -> dict:
+    """Measure padding waste of the static-bucket plan over ``lengths``.
+
+    The reference pads dynamically per batch (data_loader.py:146-211,
+    near-zero waste but a fresh shape every step); the TPU build pays
+    some padding for compiled-shape reuse. This quantifies the price:
+
+    - ``frame_pad_frac`` / ``symbol_pad_frac``: fraction of the frame /
+      symbol axis that is padding (linear compute waste: convs, FF,
+      upsampling contraction);
+    - ``frame_pad_frac_sq``: fraction of summed T² that is padding
+      (quadratic waste: the O(T²) attention scores);
+    - ``unique_shapes``: distinct (L, T) executables the epoch needs.
+    """
+    plan = plan_steps(lengths, hparams, seed)
+    real_L = real_T = pad_L = pad_T = 0
+    real_T2 = pad_T2 = 0
+    shapes = set()
+    for idxs, L, T in plan:
+        shapes.add((L, T))
+        for j in idxs:
+            n, t = lengths[j]
+            real_L += n
+            real_T += t
+            pad_L += L
+            pad_T += T
+            real_T2 += t * t
+            pad_T2 += T * T
+    return {
+        "steps": len(plan),
+        "unique_shapes": len(shapes),
+        "symbol_pad_frac": 1.0 - real_L / max(pad_L, 1),
+        "frame_pad_frac": 1.0 - real_T / max(pad_T, 1),
+        "frame_pad_frac_sq": 1.0 - real_T2 / max(pad_T2, 1),
+    }
+
+
 class TrainLoader:
     """Epoch-shuffled, process-sharded, length-bucketed batch stream.
 
@@ -214,36 +287,14 @@ class TrainLoader:
     def plan_epoch(self, epoch_idx: int) -> list:
         """Deterministic per-epoch GLOBAL step plan: [(idxs, L, T), ...].
 
-        Shuffles, sorts within coarse chunks by frame length so each
-        micro-batch is length-homogeneous (less padding waste) while
-        preserving global shuffle, and precomputes each step's common
-        (L, T) buckets from the marker lengths — no payload I/O.
-
-        The plan is identical on every process (seeded by epoch only):
-        under multi-host SPMD all hosts must agree on the step count
-        and padded shapes or the lockstep collectives diverge; each
-        process loads only its own rows in ``assemble``.
+        ``plan_steps`` over the precomputed marker lengths — no payload
+        I/O. The plan is identical on every process (seeded by epoch
+        only): under multi-host SPMD all hosts must agree on the step
+        count and padded shapes or the lockstep collectives diverge;
+        each process loads only its own rows in ``assemble``.
         """
-        hp = self.hp
-        micro, accum = hp.batch_size, hp.accumulation_steps
-        rng = random.Random(hp.seed + epoch_idx)
-        order = list(range(len(self._valid)))
-        rng.shuffle(order)
-        chunk = micro * accum * 16
-        for s in range(0, len(order), chunk):
-            order[s:s + chunk] = sorted(
-                order[s:s + chunk], key=lambda j: self._lengths[j][1])
-
-        step_size = micro * accum
-        plan = []
-        for b in range(len(order) // step_size):
-            idxs = order[b * step_size:(b + 1) * step_size]
-            L = bucket_size(max(self._lengths[j][0] for j in idxs),
-                            hp.symbol_bucket, hp.max_symbols)
-            T = bucket_size(max(self._lengths[j][1] for j in idxs),
-                            hp.frame_bucket, hp.max_frames)
-            plan.append((idxs, L, T))
-        return plan
+        return plan_steps(self._lengths, self.hp,
+                          self.hp.seed + epoch_idx)
 
     def _local_rows(self, idxs):
         """This process's contiguous slice of each micro-batch.

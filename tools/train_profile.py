@@ -30,10 +30,44 @@ from daft_exprt_tpu.training.step import (make_optimizer,  # noqa: E402
 from daft_exprt_tpu.utils import aggregate_device_trace  # noqa: E402
 
 
+def _wide_head_hparams():
+    """Synthetic D=128-per-head ablation config (VERDICT r3 item 5a).
+
+    The flagship architecture attends with 8 heads over hidden 128
+    (16 dims/head in the prosody encoder) — far below the 128-lane MXU
+    tile, so the attention backward is pass-count-bound regardless of
+    kernel quality (docs/kernels.md). This config keeps the same block
+    structure but widens to hidden 512 / 4 heads = 128 dims/head: if
+    the same kernels reach much higher MFU here, the flagship's ~0.30
+    train MFU is the architecture's ceiling, not a kernel regression.
+    """
+    wide = dict(hidden_embed_dim=512, attn_nb_heads=4, attn_dropout=0.1,
+                conv_kernel=3, conv_channels=1024, conv_dropout=0.1)
+    return _flagship_hparams(
+        prosody_encoder=dict(wide, nb_blocks=4),
+        phoneme_encoder=dict(wide, nb_blocks=4),
+        local_prosody_predictor={"nb_blocks": 1, "conv_kernel": 3,
+                                 "conv_channels": 1024,
+                                 "conv_dropout": 0.1},
+        frame_decoder=dict(wide, nb_blocks=4),
+    )
+
+
 def main():
-    hp = _flagship_hparams()
-    rate, mfu = _train_steps_per_sec(hp)
-    print(f"train_steps_per_sec: {rate:.2f} (mfu: {mfu})")
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--wide_heads", action="store_true",
+                    help="profile the synthetic 128-dims-per-head "
+                    "ablation config instead of the flagship")
+    args = ap.parse_args()
+
+    hp = _wide_head_hparams() if args.wide_heads else _flagship_hparams()
+    rate, mfu, _ = _train_steps_per_sec(hp)
+    tag = "wide-head ablation" if args.wide_heads else "flagship"
+    print(f"train_steps_per_sec ({tag}): {rate:.2f} (mfu: {mfu})")
+
+    if args.wide_heads:
+        return  # the ablation needs only the headline rate + MFU
 
     # trace a few steps
     model = DaftExprt(hp)
