@@ -180,17 +180,28 @@ class SynthesisService:
         self.lock = threading.Lock()  # one chip, serialized dispatch
 
         # style bank: accept .wav (features extracted once) and .npz;
-        # loaded into memory once -- requests never touch the disk
+        # loaded into memory once -- requests never touch the disk.
+        # A real-release bank may be a read-only checkout: extracted
+        # features then cache under /tmp instead of beside the wavs.
+        import hashlib
+
         import numpy as np
+
+        from daft_exprt_tpu.inference.style_bank import npz_cache_dir
+        tag = hashlib.sha1(
+            os.path.abspath(style_bank).encode()).hexdigest()[:12]
+        ref_dir = npz_cache_dir(
+            style_bank, os.path.join("/tmp", f"daft_style_refs_{tag}"))
         for f in sorted(os.listdir(style_bank)):
             if f.endswith(".wav"):
                 extract_reference_parameters(
-                    os.path.join(style_bank, f), style_bank, self.hp)
+                    os.path.join(style_bank, f), ref_dir, self.hp)
         self.styles = {}
-        for f in sorted(os.listdir(style_bank)):
-            if f.endswith(".npz"):
-                with np.load(os.path.join(style_bank, f)) as z:
-                    self.styles[os.path.splitext(f)[0]] = dict(z)
+        for d in {style_bank, ref_dir}:
+            for f in sorted(os.listdir(d)):
+                if f.endswith(".npz"):
+                    with np.load(os.path.join(d, f)) as z:
+                        self.styles[os.path.splitext(f)[0]] = dict(z)
         if not self.styles:
             raise FileNotFoundError(f"no style references in {style_bank}")
 
@@ -812,8 +823,14 @@ def main():
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(message)s")
     _enable_compile_cache()
+    # a request for the packaged synthetic bank upgrades to real release
+    # recordings when a checkout is present (see inference/style_bank.py)
+    from daft_exprt_tpu.inference.style_bank import resolve_style_bank
+    default_bank = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "style_bank", "english")
+    style_bank = resolve_style_bank(args.style_bank, default_bank)
     service = SynthesisService(
-        args.checkpoint, args.style_bank, vocoder=args.vocoder,
+        args.checkpoint, style_bank, vocoder=args.vocoder,
         vocoder_config=args.vocoder_config,
         default_speaker=args.default_speaker,
         batch_window_ms=args.batch_window_ms, max_batch=args.max_batch,

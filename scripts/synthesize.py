@@ -78,13 +78,22 @@ def synthesize(args):
     sentences, file_names = prepare_sentences_for_inference(
         args.text_file, args.output_dir, hparams, n_jobs)
 
-    wavs = [os.path.join(args.style_bank, x)
-            for x in os.listdir(args.style_bank) if x.endswith(".wav")]
+    from daft_exprt_tpu.inference.style_bank import (npz_cache_dir,
+                                                     resolve_style_bank)
+    # the argparse default (an unchanged value means "not explicitly
+    # requested" to the resolver, which may then prefer a real bank)
+    default_bank = os.path.join(FILE_ROOT, "style_bank", "english")
+    bank = resolve_style_bank(args.style_bank, default_bank,
+                              hparams.language)
+    ref_dir = npz_cache_dir(bank, os.path.join(args.output_dir, "refs"))
+    wavs = [os.path.join(bank, x)
+            for x in os.listdir(bank) if x.endswith(".wav")]
     for wav in wavs:
-        extract_reference_parameters(wav, args.style_bank, hparams)
-    refs_all = [os.path.join(args.style_bank, x)
-                for x in os.listdir(args.style_bank) if x.endswith(".npz")]
-    assert refs_all, f"no style references in {args.style_bank}"
+        extract_reference_parameters(wav, ref_dir, hparams)
+    refs_all = sorted({os.path.join(d, x)
+                       for d in {bank, ref_dir} for x in os.listdir(d)
+                       if x.endswith(".npz")})
+    assert refs_all, f"no style references in {bank}"
     refs = [random.choice(refs_all) for _ in sentences]
     speaker_ids = [random.choice(hparams.speakers_id) for _ in sentences]
 
@@ -132,7 +141,11 @@ def synthesize(args):
         for name, ref, spk in zip(file_names, refs, speaker_ids):
             gen = f"{name}_spk_{spk}_ref_" \
                   f"{os.path.basename(ref).replace('.npz', '')}"
-            f.write(f"{ref.replace('.npz', '.wav')}|"
+            # the .wav sits in the bank even when extracted .npz
+            # features were cached elsewhere (read-only bank)
+            ref_wav = os.path.join(
+                bank, os.path.basename(ref).replace(".npz", ".wav"))
+            f.write(f"{ref_wav}|"
                     f"{os.path.join(args.output_dir, gen + '.wav')}\n")
 
 
