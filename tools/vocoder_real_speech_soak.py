@@ -138,9 +138,16 @@ def main():
         metrics = [json.loads(x) for x in f]
     train_first, train_last = metrics[0], metrics[-1]
 
-    # streaming vs batch byte-equality with the FINE-TUNED weights on
-    # the longest real utterance (the test-suite contract, now on real
-    # speech + trained weights)
+    # streaming vs batch agreement with the FINE-TUNED weights on the
+    # longest real utterance. The WINDOWING contract (streamed chunks
+    # compute the same sums as the batch pass) is pinned byte-exact by
+    # the CPU suite (tests/test_streaming_vocoder.py); on an
+    # accelerator the streamed chunks and the full utterance are
+    # DIFFERENTLY-SHAPED executables, and XLA tiles f32 convs onto the
+    # MXU with shape-dependent accumulation order — bit-equality across
+    # graphs is not a property XLA provides. So: byte-equal on CPU,
+    # tight numeric agreement elsewhere (measured spread on a v5e:
+    # max |d| ~3e-3 vs signal RMS ~4e-2 after the ~55-layer stack).
     from daft_exprt_tpu.audio.io import load_wav
     from daft_exprt_tpu.vocoder.train import mel_for_loss
     import jax.numpy as jnp
@@ -158,7 +165,17 @@ def main():
                   np.float32)
     ext[:, :T] = mel
     full = np.asarray(gen_ft.apply(params_ft, ext[None]))[0, :T * sv.up]
-    stream_exact = np.array_equal(streamed, full)
+    on_cpu = jax.devices()[0].platform == "cpu"
+    max_d = float(np.max(np.abs(streamed - full)))
+    rms = float(np.sqrt(np.mean(full ** 2)))
+    if on_cpu:
+        stream_ok = np.array_equal(streamed, full)
+        stream_desc = f"byte-equal: {stream_ok}"
+    else:
+        stream_ok = max_d < max(0.02, 0.1 * rms)
+        stream_desc = (f"max |stream - batch| {max_d:.2e} vs signal "
+                       f"RMS {rms:.2e} (cross-graph f32 tiling noise; "
+                       f"byte-equality pinned on CPU by the suite)")
 
     mean_before = float(np.mean(list(before.values())))
     mean_after = float(np.mean(list(after.values())))
@@ -182,9 +199,9 @@ def main():
         f.write(f"- full-utterance re-vocoded mel-L1 (all 15 files): "
                 f"**{mean_before:.4f} -> {mean_after:.4f}** "
                 f"({drop:.0%} drop)\n")
-        f.write(f"- streaming == batch with fine-tuned weights on "
-                f"{os.path.basename(longest)}: **{stream_exact}** "
-                f"({len(streamed)} samples)\n\n")
+        f.write(f"- streaming vs batch with fine-tuned weights on "
+                f"{os.path.basename(longest)} ({len(streamed)} "
+                f"samples): **{stream_desc}**\n\n")
         f.write("| file | fresh init | fine-tuned |\n|---|---|---|\n")
         for k in sorted(before):
             f.write(f"| {k} | {before[k]:.4f} | {after[k]:.4f} |\n")
@@ -197,10 +214,11 @@ def main():
     assert drop > 0.25, (
         f"re-vocoded mel-L1 only dropped {drop:.0%} "
         f"({mean_before:.4f} -> {mean_after:.4f})")
-    assert stream_exact, "streaming must stay byte-equal to batch"
+    assert stream_ok, f"streaming/batch disagree: {stream_desc}"
     print(f"VOCODER REAL-SPEECH SOAK OK: re-vocoded mel-L1 "
           f"{mean_before:.4f} -> {mean_after:.4f} ({drop:.0%}), "
-          f"streaming exact, {train_last['sec_per_step']:.3f} s/step")
+          f"streaming ok ({stream_desc}), "
+          f"{train_last['sec_per_step']:.3f} s/step")
 
 
 if __name__ == "__main__":
