@@ -39,6 +39,7 @@ _FAST_MODULES = {
     "test_segment",
     "test_utils", "test_evaluation", "test_loss", "test_mel",
     "test_pitch", "test_audio", "test_modules", "test_checkpoint",
+    "test_bucket_policy",
 }
 
 
