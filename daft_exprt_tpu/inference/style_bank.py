@@ -96,6 +96,16 @@ def _probe_writable(path: str) -> bool:
     return True
 
 
+def server_cache_dir(bank_dir: str) -> str:
+    """A per-bank stable /tmp cache location for server processes
+    (no natural output dir to cache under): /tmp/daft_style_refs_<tag>
+    where the tag identifies the bank path."""
+    import hashlib
+    tag = hashlib.sha1(
+        os.path.abspath(bank_dir).encode()).hexdigest()[:12]
+    return os.path.join("/tmp", f"daft_style_refs_{tag}")
+
+
 def npz_cache_dir(bank_dir: str, fallback_dir: str) -> str:
     """Where extracted .npz features for ``bank_dir`` wavs go.
 

@@ -183,15 +183,11 @@ class SynthesisService:
         # loaded into memory once -- requests never touch the disk.
         # A real-release bank may be a read-only checkout: extracted
         # features then cache under /tmp instead of beside the wavs.
-        import hashlib
-
         import numpy as np
 
-        from daft_exprt_tpu.inference.style_bank import npz_cache_dir
-        tag = hashlib.sha1(
-            os.path.abspath(style_bank).encode()).hexdigest()[:12]
-        ref_dir = npz_cache_dir(
-            style_bank, os.path.join("/tmp", f"daft_style_refs_{tag}"))
+        from daft_exprt_tpu.inference.style_bank import (npz_cache_dir,
+                                                         server_cache_dir)
+        ref_dir = npz_cache_dir(style_bank, server_cache_dir(style_bank))
         for f in sorted(os.listdir(style_bank)):
             if f.endswith(".wav"):
                 extract_reference_parameters(
