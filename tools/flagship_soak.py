@@ -103,9 +103,20 @@ def build_corpus(root, utts_per_speaker, rng):
             total = _write_textgrid(
                 os.path.join(align, f"{name}.TextGrid"), words)
             t = np.arange(int(total * FS)) / FS
-            # speaker-specific F0 contour + per-utterance wander
-            f0 = (f0_base + vib * np.sin(2 * np.pi * 1.5 * t)
-                  + 10.0 * np.sin(2 * np.pi * 0.4 * t + rng.random() * 6))
+            # per-utterance GLOBAL prosody attributes — the kind of
+            # information a mean-pooled prosody embedding (FiLM) can
+            # carry across sentences, so prosody TRANSFER is
+            # measurable (tools/prosody_transfer_eval.py): an overall
+            # pitch slope (rising/falling, +-40 Hz/s) and an F0
+            # modulation-range factor (0.5..2x); plus the speaker
+            # vibrato and a random-phase wander as before
+            slope = float(rng.uniform(-40.0, 40.0))
+            rng_fac = float(rng.uniform(0.5, 2.0))
+            f0 = (f0_base + slope * (t - total / 2)
+                  + rng_fac * (vib * np.sin(2 * np.pi * 1.5 * t)
+                               + 10.0 * np.sin(2 * np.pi * 0.4 * t
+                                               + rng.random() * 6)))
+            f0 = np.maximum(f0, 40.0)
             phase = 2 * np.pi * np.cumsum(f0) / FS
             a1, a2, a3 = timbre
             wav = (a1 * np.sin(phase) + a2 * np.sin(2 * phase)
@@ -134,6 +145,11 @@ def main():
     ap.add_argument("--log", default=None,
                     help="markdown log path (default <out>/SOAK.md)")
     ap.add_argument("--val_every", type=int, default=500)
+    ap.add_argument("--val_percent", type=float, default=0.1,
+                    help="validation split percent (reference create_"
+                         "sets semantics: every int(100/p)-th file); "
+                         "raise to hold out more style references for "
+                         "tools/prosody_transfer_eval.py")
     ap.add_argument("--bench_every", type=int, default=2500,
                     help="min iterations between GL benchmark syntheses")
     ap.add_argument("--platform", default=None,
@@ -181,7 +197,8 @@ def main():
         extract_markers(os.path.join(dataset_dir, spk, "align"), n_jobs=4)
     extract_features(dataset_dir, features_dir, hp, n_jobs=4,
                      device_pitch=True)
-    create_sets(features_dir, hp, proportion_validation=0.1)
+    create_sets(features_dir, hp,
+                proportion_validation=args.val_percent)
     hp.stats = extract_features_stats(hp, n_jobs=4)
     _logger.info("corpus + features in %.0fs", time.time() - t0)
 
