@@ -737,6 +737,23 @@ def _prev_round_flags(rtf: float, keyed: dict) -> list:
             prev = json.load(f)
     except (OSError, ValueError):
         return [f"unreadable:{os.path.basename(priors[-1])}"]
+    # the committed BENCH_r*.json are driver wrappers
+    # {n, cmd, rc, tail, parsed} around our one-line JSON -- unwrap
+    # (prefer the pre-parsed object; fall back to the last JSON-looking
+    # line of the captured tail)
+    if "value" not in prev and isinstance(prev.get("parsed"), dict):
+        prev = prev["parsed"]
+    elif "value" not in prev and isinstance(prev.get("tail"), str):
+        for line in reversed(prev["tail"].splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    prev = json.loads(line)
+                    break
+                except ValueError:
+                    continue
+        else:
+            return [f"no_metrics_in:{os.path.basename(priors[-1])}"]
     flags = []
     prev_val = prev.get("value")
     if prev_val and rtf < 0.95 * prev_val:

@@ -177,7 +177,8 @@ def plan_steps(lengths, hparams, seed: int) -> list:
     is length-homogeneous (less padding waste) while preserving global
     shuffle, and computes each step's common (L, T) buckets. Metadata
     only — callers map the returned indices back to payloads.
-    ``hparams.sort_chunk_steps`` (default 16) sets the locality/
+    ``hparams.sort_chunk_steps`` (default 64, tuned in
+    docs/padding.md) sets the locality/
     homogeneity trade-off: chunks of ``batch_size * accumulation_steps
     * sort_chunk_steps`` items are length-sorted internally.
 
@@ -189,7 +190,7 @@ def plan_steps(lengths, hparams, seed: int) -> list:
     rng = random.Random(seed)
     order = list(range(len(lengths)))
     rng.shuffle(order)
-    chunk = micro * accum * getattr(hp, "sort_chunk_steps", 16)
+    chunk = micro * accum * getattr(hp, "sort_chunk_steps", 64)
     for s in range(0, len(order), chunk):
         order[s:s + chunk] = sorted(
             order[s:s + chunk], key=lambda j: lengths[j][1])

@@ -33,9 +33,13 @@ REAL_BANK_CANDIDATES = (
 )
 
 
-def _has_wavs(path: str) -> bool:
+def _has_styles(path: str) -> bool:
+    """True when the directory holds usable style material: .wav
+    recordings OR pre-extracted .npz reference features (servers load
+    .npz directly; wavs are optional)."""
     try:
-        return any(f.endswith(".wav") for f in os.listdir(path))
+        return any(f.endswith((".wav", ".npz"))
+                   for f in os.listdir(path))
     except OSError:
         return False
 
@@ -47,16 +51,19 @@ def resolve_style_bank(requested: str | None, default: str,
             != os.path.abspath(default):
         return requested
     env = os.environ.get("DAFT_STYLE_BANK")
-    if env and _has_wavs(env):
-        _logger.info(f"style bank from $DAFT_STYLE_BANK: {env}")
-        return env
+    if env:
+        if _has_styles(env):
+            _logger.info(f"style bank from $DAFT_STYLE_BANK: {env}")
+            return env
+        _logger.warning(
+            f"$DAFT_STYLE_BANK={env} has no .wav/.npz styles; ignoring")
     candidates = list(REAL_BANK_CANDIDATES)
     extra = os.environ.get("DAFT_REAL_STYLE_BANK")
     if extra:
         candidates.insert(0, extra)
     for root in candidates:
         for bank in (os.path.join(root, language), root):
-            if _has_wavs(bank):
+            if _has_styles(bank):
                 _logger.info(
                     f"real style recordings found; preferring {bank} "
                     f"over the synthetic bank {default}")
@@ -96,13 +103,24 @@ def _probe_writable(path: str) -> bool:
     return True
 
 
-def server_cache_dir(bank_dir: str) -> str:
-    """A per-bank stable /tmp cache location for server processes
-    (no natural output dir to cache under): /tmp/daft_style_refs_<tag>
-    where the tag identifies the bank path."""
+def server_cache_dir(bank_dir: str, hparams=None) -> str:
+    """A per-(bank, feature-config) stable /tmp cache location for
+    server processes (no natural output dir to cache under):
+    /tmp/daft_style_refs_<tag>.
+
+    The tag hashes the bank path AND the feature-extraction-relevant
+    hparams (the ``FEATURES_HPARAMS`` compat subset): extraction is
+    idempotent (existing .npz are reused), so two servers with
+    different mel/pitch configs must never share a cache — stale
+    features would load silently.
+    """
     import hashlib
-    tag = hashlib.sha1(
-        os.path.abspath(bank_dir).encode()).hexdigest()[:12]
+    h = hashlib.sha1(os.path.abspath(bank_dir).encode())
+    if hparams is not None:
+        from daft_exprt_tpu.config import FEATURES_HPARAMS
+        cfg = {k: getattr(hparams, k, None) for k in FEATURES_HPARAMS}
+        h.update(repr(sorted(cfg.items(), key=lambda kv: kv[0])).encode())
+    tag = h.hexdigest()[:12]
     return os.path.join("/tmp", f"daft_style_refs_{tag}")
 
 
@@ -117,7 +135,17 @@ def npz_cache_dir(bank_dir: str, fallback_dir: str) -> str:
     if not _is_release_checkout(bank_dir) and _probe_writable(bank_dir):
         return bank_dir
     out = fallback_dir
-    os.makedirs(out, exist_ok=True)
+    os.makedirs(out, mode=0o700, exist_ok=True)
+    # shared-host hardening: a world-writable parent (/tmp) plus a
+    # predictable name means another user could pre-create the dir and
+    # plant .npz features the idempotent extraction would then trust —
+    # refuse to use a cache dir we don't own
+    st = os.stat(out)
+    if hasattr(os, "getuid") and st.st_uid != os.getuid():
+        raise PermissionError(
+            f"style cache dir {out} is owned by uid {st.st_uid}, not "
+            f"us (uid {os.getuid()}); remove it or set a different "
+            f"cache location")
     _logger.info(f"style bank {bank_dir} is read-only; caching "
                  f"reference features in {out}")
     return out

@@ -181,19 +181,34 @@ class SynthesisService:
 
         # style bank: accept .wav (features extracted once) and .npz;
         # loaded into memory once -- requests never touch the disk.
+        # "auto" resolves to a real release checkout when one is
+        # present, else the packaged synthetic bank; any explicit path
+        # is used verbatim (operators choose their style names).
         # A real-release bank may be a read-only checkout: extracted
         # features then cache under /tmp instead of beside the wavs.
         import numpy as np
 
-        from daft_exprt_tpu.inference.style_bank import (npz_cache_dir,
-                                                         server_cache_dir)
-        ref_dir = npz_cache_dir(style_bank, server_cache_dir(style_bank))
+        from daft_exprt_tpu.inference.style_bank import (
+            npz_cache_dir, resolve_style_bank, server_cache_dir)
+        if style_bank == "auto":
+            default_bank = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "style_bank", self.hp.language)
+            style_bank = resolve_style_bank(None, default_bank,
+                                            self.hp.language)
+        self.style_bank = style_bank
+        ref_dir = npz_cache_dir(
+            style_bank, server_cache_dir(style_bank, self.hp))
         for f in sorted(os.listdir(style_bank)):
             if f.endswith(".wav"):
                 extract_reference_parameters(
                     os.path.join(style_bank, f), ref_dir, self.hp)
         self.styles = {}
-        for d in {style_bank, ref_dir}:
+        # deterministic precedence: freshly extracted features first,
+        # then the bank's own committed .npz override same-stem entries
+        # (bank-shipped files are canonical for their wavs)
+        for d in (ref_dir, style_bank) if ref_dir != style_bank \
+                else (style_bank,):
             for f in sorted(os.listdir(d)):
                 if f.endswith(".npz"):
                     with np.load(os.path.join(d, f)) as z:
@@ -784,8 +799,11 @@ def serve(service: "SynthesisService", host: str, port: int,
 def main():
     parser = argparse.ArgumentParser(description="Daft-Exprt TTS server")
     parser.add_argument("--checkpoint", required=True)
-    parser.add_argument("--style_bank", required=True,
-                        help="directory of style .wav/.npz references")
+    parser.add_argument("--style_bank", default="auto",
+                        help="directory of style .wav/.npz references "
+                             "(used verbatim); default 'auto' prefers "
+                             "a real release checkout when present, "
+                             "else the packaged synthetic bank")
     parser.add_argument("--vocoder", default="",
                         help="HiFi-GAN checkpoint (torch g_* or our "
                         "Vocoder_*); default: Griffin-Lim previews")
@@ -819,14 +837,8 @@ def main():
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(message)s")
     _enable_compile_cache()
-    # a request for the packaged synthetic bank upgrades to real release
-    # recordings when a checkout is present (see inference/style_bank.py)
-    from daft_exprt_tpu.inference.style_bank import resolve_style_bank
-    default_bank = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "style_bank", "english")
-    style_bank = resolve_style_bank(args.style_bank, default_bank)
     service = SynthesisService(
-        args.checkpoint, style_bank, vocoder=args.vocoder,
+        args.checkpoint, args.style_bank, vocoder=args.vocoder,
         vocoder_config=args.vocoder_config,
         default_speaker=args.default_speaker,
         batch_window_ms=args.batch_window_ms, max_batch=args.max_batch,

@@ -80,19 +80,27 @@ def synthesize(args):
 
     from daft_exprt_tpu.inference.style_bank import (npz_cache_dir,
                                                      resolve_style_bank)
-    # the argparse default (an unchanged value means "not explicitly
-    # requested" to the resolver, which may then prefer a real bank)
-    default_bank = os.path.join(FILE_ROOT, "style_bank", "english")
-    bank = resolve_style_bank(args.style_bank, default_bank,
-                              hparams.language)
+    # "auto" prefers a real release checkout when present; an explicit
+    # path is used verbatim
+    if args.style_bank == "auto":
+        default_bank = os.path.join(FILE_ROOT, "style_bank",
+                                    hparams.language)
+        bank = resolve_style_bank(None, default_bank, hparams.language)
+    else:
+        bank = args.style_bank
     ref_dir = npz_cache_dir(bank, os.path.join(args.output_dir, "refs"))
     wavs = [os.path.join(bank, x)
             for x in os.listdir(bank) if x.endswith(".wav")]
     for wav in wavs:
         extract_reference_parameters(wav, ref_dir, hparams)
-    refs_all = sorted({os.path.join(d, x)
-                       for d in {bank, ref_dir} for x in os.listdir(d)
-                       if x.endswith(".npz")})
+    # deterministic precedence on duplicate stems: the bank's own
+    # committed .npz are canonical over the extraction cache
+    by_stem = {}
+    for d in (ref_dir, bank) if ref_dir != bank else (bank,):
+        for x in sorted(os.listdir(d)):
+            if x.endswith(".npz"):
+                by_stem[x] = os.path.join(d, x)
+    refs_all = [by_stem[k] for k in sorted(by_stem)]
     assert refs_all, f"no style references in {bank}"
     refs = [random.choice(refs_all) for _ in sentences]
     speaker_ids = [random.choice(hparams.speakers_id) for _ in sentences]
@@ -157,9 +165,11 @@ def main():
     parser.add_argument("--text_file",
                         default=os.path.join(FILE_ROOT, "benchmarks",
                                              "english", "sentences.txt"))
-    parser.add_argument("--style_bank",
-                        default=os.path.join(FILE_ROOT, "style_bank",
-                                             "english"))
+    parser.add_argument("--style_bank", default="auto",
+                        help="style reference directory (used "
+                             "verbatim); default 'auto' prefers a real "
+                             "release checkout when present, else the "
+                             "packaged synthetic bank")
     parser.add_argument("--output_dir",
                         default=os.path.join(FILE_ROOT, "output"))
     parser.add_argument("--batch_size", type=int, default=50)

@@ -45,6 +45,65 @@ def test_env_override(tmp_path, monkeypatch):
     assert sb.resolve_style_bank(default, default) == env_bank
 
 
+def test_env_override_npz_only_bank(tmp_path, monkeypatch):
+    """Pre-extracted .npz-only banks are valid serving banks and must
+    not be silently ignored by the env override."""
+    env_bank = _mkbank(tmp_path / "npzbank", names=("a.npz", "b.npz"))
+    monkeypatch.setenv("DAFT_STYLE_BANK", env_bank)
+    default = _mkbank(tmp_path / "default")
+    assert sb.resolve_style_bank(None, default) == env_bank
+
+
+def test_env_override_empty_dir_warns_and_falls_through(tmp_path,
+                                                        monkeypatch):
+    empty = tmp_path / "empty"
+    os.makedirs(empty)
+    monkeypatch.setenv("DAFT_STYLE_BANK", str(empty))
+    monkeypatch.setattr(sb, "REAL_BANK_CANDIDATES", ())
+    default = _mkbank(tmp_path / "default")
+    assert sb.resolve_style_bank(None, default) == default
+
+
+def test_server_cache_dir_salted_by_feature_config(tmp_path):
+    """Two servers with different mel configs must not share an
+    extraction cache (stale features would load silently)."""
+    from helpers import tiny_hparams
+    bank = _mkbank(tmp_path / "bank")
+    hp_a = tiny_hparams()
+    hp_b = tiny_hparams()
+    hp_b.n_mel_channels = hp_a.n_mel_channels + 8
+    a = sb.server_cache_dir(bank, hp_a)
+    b = sb.server_cache_dir(bank, hp_b)
+    assert a != b
+    # same config -> same cache (idempotent reuse across restarts)
+    assert a == sb.server_cache_dir(bank, tiny_hparams())
+    # different bank -> different cache
+    other = _mkbank(tmp_path / "bank2")
+    assert sb.server_cache_dir(other, hp_a) != a
+
+
+def test_npz_cache_fallback_refuses_foreign_ownership(tmp_path,
+                                                      monkeypatch):
+    """A pre-created cache dir owned by another uid is rejected, not
+    trusted as a feature source."""
+    root = tmp_path / "release"
+    bank = _mkbank(root / "english")
+    monkeypatch.setattr(sb, "REAL_BANK_CANDIDATES", (str(root),))
+    fb = tmp_path / "fb"
+    os.makedirs(fb)
+    real_stat = os.stat
+
+    class FakeStat:
+        def __init__(self, st):
+            self.st_uid = st.st_uid + 1
+            self.st_mode = st.st_mode
+
+    monkeypatch.setattr(sb.os, "stat",
+                        lambda p: FakeStat(real_stat(p)))
+    with pytest.raises(PermissionError):
+        sb.npz_cache_dir(bank, str(fb))
+
+
 def test_real_bank_preferred_over_default(tmp_path, monkeypatch):
     """Requesting the packaged default upgrades to a real checkout,
     resolving the language subdirectory first."""
