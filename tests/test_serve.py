@@ -440,3 +440,40 @@ def test_batcher_dead_worker_fails_loudly():
     assert not batcher.thread.is_alive()
     with pytest.raises(RuntimeError, match="died|restart"):
         batcher.submit(job)
+
+
+def test_auto_style_bank_resolution(tmp_path, monkeypatch):
+    """style_bank='auto' resolves inside the service using the
+    checkpoint's language: $DAFT_STYLE_BANK wins, and the resolved
+    bank's styles are what get served."""
+    import serve as srv
+
+    from tools.convert_checkpoint import save_converted_checkpoint
+
+    from daft_exprt_tpu.audio.io import save_wav
+    from daft_exprt_tpu.models.daft_exprt import DaftExprt
+
+    hp = tiny_hparams(speakers=["spk_a"])
+    hp.stats = {
+        f"spk {i}": {
+            "pitch": {"mean": float(np.log(180.0)), "std": 0.25,
+                      "min": 4.0, "max": 6.0},
+            "energy": {"mean": 3.0, "std": 1.0, "min": 0.0, "max": 9.0},
+        } for i in hp.speakers_id}
+    model = DaftExprt(hp)
+    params = pinned_init_params(model)
+    ckpt_dir = str(tmp_path / "converted")
+    save_converted_checkpoint(ckpt_dir, params, dict(hp.as_dict()))
+
+    bank = str(tmp_path / "envbank")
+    os.makedirs(bank)
+    t = np.arange(int(1.2 * hp.sampling_rate)) / hp.sampling_rate
+    phase = 2 * np.pi * np.cumsum(160 + 15 * np.sin(2 * np.pi * t)) \
+        / hp.sampling_rate
+    save_wav(os.path.join(bank, "env_style.wav"),
+             (0.5 * np.sin(phase)).astype(np.float32), hp.sampling_rate)
+    monkeypatch.setenv("DAFT_STYLE_BANK", bank)
+
+    service = srv.SynthesisService(ckpt_dir, "auto")
+    assert os.path.abspath(service.style_bank) == os.path.abspath(bank)
+    assert set(service.styles) == {"env_style"}
