@@ -245,26 +245,38 @@ def _train_step_op_classes(step, params, opt_state, batch, rng_key, it,
             jax.block_until_ready(metrics)
         finally:
             jax.profiler.stop_trace()
-        agg, _ = aggregate_device_trace(trace_dir, level="ops")
+        # exclusive (self) times: nesting resolved by interval
+        # containment, so the grad-accum `while` is charged only for
+        # scan machinery + in-scan ops not inside a kernel region, and
+        # the totals sum to device time without double counting
+        agg, _ = aggregate_device_trace(trace_dir, level="ops_exclusive")
         mod, _ = aggregate_device_trace(trace_dir, level="modules")
         step_total = sum(v for k, v in mod.items()
                          if k.startswith("jit")) / n_steps
 
         classes = {}
-        kernel_ms = 0.0
+        fwd_ms = bwd_ms = 0.0
         for name, ms in agg.items():
             base = name.split(".")[0].split("(")[0].strip().lower()
-            # Pallas kernels surface as custom calls carrying the
-            # kernel function name
-            if any(k in name for k in ("attention", "fft_block",
-                                       "conv_ff", "mosaic", "tpu_custom")):
-                base = "pallas_kernels"
-                kernel_ms += ms
+            # the custom-VJP Pallas kernels (training attention +
+            # conv-FF) surface as jvp/transpose_jvp custom-call regions
+            if "fwd_call" in base or any(
+                    k in base for k in ("attention", "fft_block",
+                                        "conv_ff", "mosaic",
+                                        "tpu_custom")):
+                base = "custom_kernels_fwd"
+                fwd_ms += ms
+            elif "bwd_call" in base:
+                base = "custom_kernels_bwd"
+                bwd_ms += ms
+            elif base == "while":
+                base = "scan_nonkernel_self"
             classes[base] = classes.get(base, 0.0) + ms / n_steps
         top = dict(sorted(classes.items(), key=lambda kv: -kv[1])[:12])
         return {
             "step_device_ms": round(step_total, 3),
-            "pallas_kernel_ms": round(kernel_ms / n_steps, 3),
+            "custom_kernel_fwd_ms": round(fwd_ms / n_steps, 3),
+            "custom_kernel_bwd_ms": round(bwd_ms / n_steps, 3),
             "op_class_ms": {k: round(v, 3) for k, v in top.items()},
         }
     except Exception:

@@ -320,6 +320,12 @@ def aggregate_device_trace(trace_dir: str, level: str = "ops"):
       like lax.scan/while still appear as enclosing rows, so treat
       totals as an upper bound there and read the per-op rows
       relatively);
+    - ``"ops_exclusive"``: like ``"ops"`` but resolves nesting on each
+      device thread by interval containment and reports SELF time --
+      an enclosing row (``while``, jvp/bwd region envelopes) is
+      charged only for time not covered by rows nested inside it, so
+      the totals sum to device time without double counting. This is
+      the honest view for programs dominated by ``lax.scan``;
     - ``"modules"``: only the module envelopes (per-call totals);
     - ``"all"``: everything (double counts; raw view).
 
@@ -330,7 +336,7 @@ def aggregate_device_trace(trace_dir: str, level: str = "ops"):
     import gzip
     import json
 
-    assert level in ("ops", "modules", "all"), level
+    assert level in ("ops", "ops_exclusive", "modules", "all"), level
     files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
     if not files:
         raise FileNotFoundError(f"no trace under {trace_dir}")
@@ -354,7 +360,35 @@ def aggregate_device_trace(trace_dir: str, level: str = "ops"):
             return True
         tname = thread_names.get((e["pid"], e.get("tid")), "")
         is_module = "Module" in tname
-        return is_module if level == "modules" else not is_module
+        if level in ("ops", "ops_exclusive"):
+            # step-marker envelopes duplicate the module envelopes
+            return not is_module and "Step" not in tname
+        return is_module
+
+    if level == "ops_exclusive":
+        by_thread = collections.defaultdict(list)
+        for e in events:
+            if keep(e):
+                by_thread[(e["pid"], e.get("tid"))].append(
+                    (e.get("ts", 0), e.get("dur", 0),
+                     e.get("name", "?")))
+        agg = collections.Counter()
+        total = 0.0
+        for rows in by_thread.values():
+            # parents start no later and end no earlier than children;
+            # sorting by (start, -dur) visits parents first
+            rows.sort(key=lambda r: (r[0], -r[1]))
+            stack = []  # (end_ts, name)
+            for ts, dur, name in rows:
+                while stack and stack[-1][0] <= ts:
+                    stack.pop()
+                agg[name] += dur / 1e3
+                if stack:  # charge only self time to the parent
+                    agg[stack[-1][1]] -= dur / 1e3
+                stack.append((ts + dur, name))
+                total += 0.0
+        total = sum(agg.values())
+        return agg, total
 
     agg = collections.Counter()
     total = 0.0

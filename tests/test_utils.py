@@ -126,6 +126,45 @@ def test_aggregate_device_trace_levels(tmp_path):
         aggregate_device_trace(str(tmp_path / "nope"))
 
 
+def test_aggregate_device_trace_exclusive_nesting(tmp_path):
+    """ops_exclusive resolves interval nesting to SELF time: an
+    enclosing `while` row is charged only for time not covered by the
+    kernel-region rows inside it, and totals sum without double
+    counting (the lax.scan train-step shape)."""
+    import gzip
+    import json
+    import os
+
+    events = [
+        {"ph": "M", "pid": 7, "name": "process_name",
+         "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "pid": 7, "tid": 1, "name": "thread_name",
+         "args": {"name": "XLA Ops"}},
+        # while spans [0, 10ms); two nested regions [1,4) and [5,9);
+        # one sibling op after the while at [10, 12)
+        {"ph": "X", "pid": 7, "tid": 1, "name": "while", "ts": 0,
+         "dur": 10000},
+        {"ph": "X", "pid": 7, "tid": 1, "name": "jvp_fwd.1", "ts": 1000,
+         "dur": 3000},
+        {"ph": "X", "pid": 7, "tid": 1, "name": "bwd.2", "ts": 5000,
+         "dur": 4000},
+        {"ph": "X", "pid": 7, "tid": 1, "name": "fusion.9", "ts": 10000,
+         "dur": 2000},
+    ]
+    d = tmp_path / "plugins" / "profile" / "run"
+    os.makedirs(d)
+    with gzip.open(str(d / "vm.trace.json.gz"), "wt") as f:
+        json.dump({"traceEvents": events}, f)
+
+    agg, total = aggregate_device_trace(str(tmp_path),
+                                        level="ops_exclusive")
+    assert agg["while"] == pytest.approx(3.0)  # 10 - 3 - 4 self
+    assert agg["jvp_fwd.1"] == pytest.approx(3.0)
+    assert agg["bwd.2"] == pytest.approx(4.0)
+    assert agg["fusion.9"] == pytest.approx(2.0)
+    assert total == pytest.approx(12.0)  # = wall device time, no dup
+
+
 def test_progress_bar_width():
     from daft_exprt_tpu.utils import _progress
     import io
