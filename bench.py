@@ -259,16 +259,20 @@ def _train_step_op_classes(step, params, opt_state, batch, rng_key, it,
         for name, ms in agg.items():
             base = name.split(".")[0].split("(")[0].strip().lower()
             # the custom-VJP Pallas kernels (training attention +
-            # conv-FF) surface as jvp/transpose_jvp custom-call regions
-            if "fwd_call" in base or any(
-                    k in base for k in ("attention", "fft_block",
-                                        "conv_ff", "mosaic",
-                                        "tpu_custom")):
-                base = "custom_kernels_fwd"
-                fwd_ms += ms
-            elif "bwd_call" in base:
+            # conv-FF) surface as jvp/transpose_jvp custom-call
+            # regions. Direction FIRST: a backward row may also carry
+            # a kernel keyword ("attention_bwd", "tpu_custom_call" in
+            # a bwd region) and must never be counted as forward.
+            is_kernel = any(k in base for k in
+                            ("fwd_call", "bwd_call", "attention",
+                             "fft_block", "conv_ff", "mosaic",
+                             "tpu_custom"))
+            if is_kernel and ("bwd" in base or "transpose_jvp" in base):
                 base = "custom_kernels_bwd"
                 bwd_ms += ms
+            elif is_kernel:
+                base = "custom_kernels_fwd"
+                fwd_ms += ms
             elif base == "while":
                 base = "scan_nonkernel_self"
             classes[base] = classes.get(base, 0.0) + ms / n_steps

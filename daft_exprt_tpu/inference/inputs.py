@@ -49,7 +49,14 @@ def extract_reference_parameters(audio_ref: str, output_dir: str, hparams):
     energy = extract_energy(np.exp(mel_spec))
     assert len(pitch) == mel_spec.shape[1], (len(pitch), mel_spec.shape)
     assert len(energy) == mel_spec.shape[1], (len(energy), mel_spec.shape)
-    np.savez(ref_file, energy=energy, pitch=pitch, mel_spec=mel_spec)
+    # atomic publish: the cache dir may be shared between concurrent
+    # servers (style_bank.server_cache_dir), and the exists-skip above
+    # must never observe a half-written file
+    tmp_file = f"{ref_file}.tmp{os.getpid()}"
+    with open(tmp_file, "wb") as f:  # file object: no .npz suffixing,
+        np.savez(f, energy=energy, pitch=pitch,  # invisible to *.npz
+                 mel_spec=mel_spec)              # directory scans
+    os.replace(tmp_file, ref_file)
     return ref_file
 
 

@@ -137,15 +137,23 @@ def npz_cache_dir(bank_dir: str, fallback_dir: str) -> str:
     out = fallback_dir
     os.makedirs(out, mode=0o700, exist_ok=True)
     # shared-host hardening: a world-writable parent (/tmp) plus a
-    # predictable name means another user could pre-create the dir and
-    # plant .npz features the idempotent extraction would then trust —
-    # refuse to use a cache dir we don't own
-    st = os.stat(out)
+    # predictable name means another user could pre-create the dir (or
+    # a symlink to somewhere we own) and plant .npz features the
+    # idempotent extraction would then trust — refuse symlinks, refuse
+    # foreign ownership, and close off a pre-existing dir's mode
+    import stat as stat_mod
+    st = os.lstat(out)
+    if stat_mod.S_ISLNK(st.st_mode):
+        raise PermissionError(
+            f"style cache dir {out} is a symlink; refusing "
+            f"(pre-created by another party?)")
     if hasattr(os, "getuid") and st.st_uid != os.getuid():
         raise PermissionError(
             f"style cache dir {out} is owned by uid {st.st_uid}, not "
             f"us (uid {os.getuid()}); remove it or set a different "
             f"cache location")
+    if stat_mod.S_IMODE(st.st_mode) & 0o077:
+        os.chmod(out, 0o700)  # pre-existing dir: close group/other
     _logger.info(f"style bank {bank_dir} is read-only; caching "
                  f"reference features in {out}")
     return out

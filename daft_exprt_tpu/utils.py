@@ -373,7 +373,6 @@ def aggregate_device_trace(trace_dir: str, level: str = "ops"):
                     (e.get("ts", 0), e.get("dur", 0),
                      e.get("name", "?")))
         agg = collections.Counter()
-        total = 0.0
         for rows in by_thread.values():
             # parents start no later and end no earlier than children;
             # sorting by (start, -dur) visits parents first
@@ -386,9 +385,7 @@ def aggregate_device_trace(trace_dir: str, level: str = "ops"):
                 if stack:  # charge only self time to the parent
                     agg[stack[-1][1]] -= dur / 1e3
                 stack.append((ts + dur, name))
-                total += 0.0
-        total = sum(agg.values())
-        return agg, total
+        return agg, sum(agg.values())
 
     agg = collections.Counter()
     total = 0.0

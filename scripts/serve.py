@@ -204,10 +204,12 @@ class SynthesisService:
                 extract_reference_parameters(
                     os.path.join(style_bank, f), ref_dir, self.hp)
         self.styles = {}
-        # deterministic precedence: freshly extracted features first,
-        # then the bank's own committed .npz override same-stem entries
-        # (bank-shipped files are canonical for their wavs)
-        for d in (ref_dir, style_bank) if ref_dir != style_bank \
+        # deterministic precedence: the bank's committed .npz load
+        # first, then the salted-cache extractions override same-stem
+        # entries — extraction ran under THIS server's feature config,
+        # while a bank-shipped .npz may come from any config (the
+        # config-salted cache exists precisely to avoid stale features)
+        for d in (style_bank, ref_dir) if ref_dir != style_bank \
                 else (style_bank,):
             for f in sorted(os.listdir(d)):
                 if f.endswith(".npz"):

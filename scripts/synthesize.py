@@ -93,10 +93,11 @@ def synthesize(args):
             for x in os.listdir(bank) if x.endswith(".wav")]
     for wav in wavs:
         extract_reference_parameters(wav, ref_dir, hparams)
-    # deterministic precedence on duplicate stems: the bank's own
-    # committed .npz are canonical over the extraction cache
+    # deterministic precedence on duplicate stems: fresh extractions
+    # (made under THIS run's feature config) override bank-shipped
+    # .npz, which may come from any config
     by_stem = {}
-    for d in (ref_dir, bank) if ref_dir != bank else (bank,):
+    for d in (bank, ref_dir) if ref_dir != bank else (bank,):
         for x in sorted(os.listdir(d)):
             if x.endswith(".npz"):
                 by_stem[x] = os.path.join(d, x)

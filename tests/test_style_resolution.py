@@ -91,17 +91,29 @@ def test_npz_cache_fallback_refuses_foreign_ownership(tmp_path,
     monkeypatch.setattr(sb, "REAL_BANK_CANDIDATES", (str(root),))
     fb = tmp_path / "fb"
     os.makedirs(fb)
-    real_stat = os.stat
+    real_lstat = os.lstat
 
     class FakeStat:
         def __init__(self, st):
             self.st_uid = st.st_uid + 1
             self.st_mode = st.st_mode
 
-    monkeypatch.setattr(sb.os, "stat",
-                        lambda p: FakeStat(real_stat(p)))
+    monkeypatch.setattr(sb.os, "lstat",
+                        lambda p, *a, **kw: FakeStat(real_lstat(p)))
     with pytest.raises(PermissionError):
         sb.npz_cache_dir(bank, str(fb))
+
+
+def test_npz_cache_fallback_refuses_symlink(tmp_path, monkeypatch):
+    root = tmp_path / "release"
+    bank = _mkbank(root / "english")
+    monkeypatch.setattr(sb, "REAL_BANK_CANDIDATES", (str(root),))
+    target = tmp_path / "victim_owned"
+    os.makedirs(target)
+    link = tmp_path / "fb_link"
+    os.symlink(target, link)
+    with pytest.raises(PermissionError, match="symlink"):
+        sb.npz_cache_dir(bank, str(link))
 
 
 def test_real_bank_preferred_over_default(tmp_path, monkeypatch):
