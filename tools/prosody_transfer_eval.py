@@ -67,6 +67,10 @@ def main():
     ap.add_argument("--strict", action="store_true",
                     help="assert matched PCC beats the mismatched "
                          "baseline")
+    ap.add_argument("--sweep", action="store_true",
+                    help="score EVERY numbered checkpoint in the soak "
+                         "dir through the same compiled graphs and "
+                         "log the transfer-emergence curve")
     args = ap.parse_args()
 
     from daft_exprt_tpu.utils import enable_compile_cache
@@ -135,70 +139,108 @@ def main():
             jobs.append((npz, wav, spk_to_id[tgt],
                          f"ref_{utt}_to_{tgt}"))
 
-    n = len(jobs)
-    predictions = generate_mel_specs(
-        engine,
-        sentences=[sentence] * n,
-        file_names=[j[3] for j in jobs],
-        speaker_ids=[j[2] for j in jobs],
-        refs=[j[0] for j in jobs],
-        output_dir=args.out, hparams=hp,
-        batch_size=min(n, 16), n_jobs=2, use_griffin_lim=True)
-    predictions.pop("__rtf__", None)
-
-    # locate each generated wav (generate_mel_specs name scheme)
-    gen_wavs = {}
-    for name in predictions:
-        p = os.path.join(args.out, f"{name}.wav")
-        if os.path.isfile(p):
-            gen_wavs[name] = p
-    assert gen_wavs, "no generated audio"
-
-    # per-wav global prosody attributes + matched/mismatched PCC
-    ref_wav_by_name = {j[3]: j[1] for j in jobs}
-    ref_attrs = {r[3]: slope_and_range(r[3]) for r in refs}
-    matched, mismatched = [], []
-    slopes_ref, slopes_gen, ranges_ref, ranges_gen = [], [], [], []
-    rows = []
-    ref_wavs_all = [r[3] for r in refs]
-    for name, gen in sorted(gen_wavs.items()):
-        base = next(k for k in ref_wav_by_name if name.startswith(k))
-        ref_wav = ref_wav_by_name[base]
-        m = pcc_between_wavs(ref_wav, gen)
-        others = [pcc_between_wavs(rw, gen) for rw in ref_wavs_all
-                  if rw != ref_wav]
-        others = [x for x in others if np.isfinite(x)]
-        mm = float(np.mean(others)) if others else float("nan")
-        if np.isfinite(m):
-            matched.append(m)
-        if np.isfinite(mm):
-            mismatched.append(mm)
-        rs, rr = ref_attrs[ref_wav]
-        gs, gr = slope_and_range(gen)
-        if np.isfinite(rs) and np.isfinite(gs):
-            slopes_ref.append(rs)
-            slopes_gen.append(gs)
-        if np.isfinite(rr) and np.isfinite(gr):
-            ranges_ref.append(rr)
-            ranges_gen.append(gr)
-        rows.append((name, m, mm, rs, gs, rr, gr))
-        _logger.info("%s: PCC %.3f/%.3f slope %+.1f->%+.1f Hz/s "
-                     "range %.1f->%.1f Hz", name, m, mm, rs, gs, rr, gr)
-
     def _pearson(a, b):
         if len(a) < 3 or np.std(a) == 0 or np.std(b) == 0:
             return float("nan")
         return float(np.corrcoef(a, b)[0, 1])
 
-    r_slope = _pearson(slopes_ref, slopes_gen)
-    r_range = _pearson(ranges_ref, ranges_gen)
-    mean_m = float(np.mean(matched))
-    mean_mm = float(np.mean(mismatched))
-    win = sum(1 for row in rows
-              if np.isfinite(row[1]) and np.isfinite(row[2])
-              and row[1] > row[2])
-    total = sum(1 for row in rows
-                if np.isfinite(row[1]) and np.isfinite(row[2]))
+    ref_wav_by_name = {j[3]: j[1] for j in jobs}
+    ref_attrs = {r[3]: slope_and_range(r[3]) for r in refs}
+    ref_wavs_all = [r[3] for r in refs]
+
+    def score_current_params(out_dir):
+        """Synthesize the grid with the engine's CURRENT params into
+        ``out_dir`` and score it. Compiled graphs are reused across
+        calls (params are executable arguments, not constants)."""
+        os.makedirs(out_dir, exist_ok=True)
+        n = len(jobs)
+        predictions = generate_mel_specs(
+            engine,
+            sentences=[sentence] * n,
+            file_names=[j[3] for j in jobs],
+            speaker_ids=[j[2] for j in jobs],
+            refs=[j[0] for j in jobs],
+            output_dir=out_dir, hparams=hp,
+            batch_size=min(n, 16), n_jobs=2, use_griffin_lim=True)
+        predictions.pop("__rtf__", None)
+        gen_wavs = {}
+        for name in predictions:
+            p = os.path.join(out_dir, f"{name}.wav")
+            if os.path.isfile(p):
+                gen_wavs[name] = p
+        assert gen_wavs, "no generated audio"
+
+        matched, mismatched = [], []
+        sr_, sg_, rr_, rg_ = [], [], [], []
+        rows = []
+        for name, gen in sorted(gen_wavs.items()):
+            base = next(k for k in ref_wav_by_name
+                        if name.startswith(k))
+            ref_wav = ref_wav_by_name[base]
+            m = pcc_between_wavs(ref_wav, gen)
+            others = [pcc_between_wavs(rw, gen) for rw in ref_wavs_all
+                      if rw != ref_wav]
+            others = [x for x in others if np.isfinite(x)]
+            mm = float(np.mean(others)) if others else float("nan")
+            if np.isfinite(m):
+                matched.append(m)
+            if np.isfinite(mm):
+                mismatched.append(mm)
+            rs, rr = ref_attrs[ref_wav]
+            gs, gr = slope_and_range(gen)
+            if np.isfinite(rs) and np.isfinite(gs):
+                sr_.append(rs)
+                sg_.append(gs)
+            if np.isfinite(rr) and np.isfinite(gr):
+                rr_.append(rr)
+                rg_.append(gr)
+            rows.append((name, m, mm, rs, gs, rr, gr))
+            _logger.info("%s: PCC %.3f/%.3f slope %+.1f->%+.1f Hz/s "
+                         "range %.1f->%.1f Hz", name, m, mm, rs, gs,
+                         rr, gr)
+        return {
+            "rows": rows,
+            "r_slope": _pearson(sr_, sg_),
+            "r_range": _pearson(rr_, rg_),
+            "n_slope": len(sr_),
+            "n_range": len(rr_),
+            "mean_m": float(np.mean(matched)),
+            "mean_mm": float(np.mean(mismatched)),
+            "win": sum(1 for r_ in rows
+                       if np.isfinite(r_[1]) and np.isfinite(r_[2])
+                       and r_[1] > r_[2]),
+            "total": sum(1 for r_ in rows
+                         if np.isfinite(r_[1]) and np.isfinite(r_[2])),
+        }
+
+    sweep_rows = []
+    if args.sweep:
+        # transfer-emergence curve: score every numbered checkpoint
+        # through the SAME compiled executables (update_params swaps
+        # weights without recompiling)
+        ckpt_root = os.path.join(args.soak, "exp", "checkpoints")
+        numbered = sorted(
+            (int(d.rsplit("_", 1)[1]), os.path.join(ckpt_root, d))
+            for d in os.listdir(ckpt_root)
+            if d.rsplit("_", 1)[-1].isdigit())
+        for it_i, ckpt_i in numbered:
+            params_i, _ = load_any_checkpoint(ckpt_i)
+            engine.update_params(params_i)
+            s = score_current_params(os.path.join(args.out,
+                                                  f"it_{it_i}"))
+            sweep_rows.append((it_i, s))
+            _logger.info("iteration %d: slope r %.3f, PCC %.3f/%.3f",
+                         it_i, s["r_slope"], s["mean_m"], s["mean_mm"])
+        it, summary = sweep_rows[-1]
+    else:
+        summary = score_current_params(args.out)
+
+    rows = summary["rows"]
+    r_slope, r_range = summary["r_slope"], summary["r_range"]
+    mean_m, mean_mm = summary["mean_m"], summary["mean_mm"]
+    win, total = summary["win"], summary["total"]
+    slopes_ref = range(summary["n_slope"])  # lengths only (log text)
+    ranges_ref = range(summary["n_range"])
 
     log_path = args.log or os.path.join(args.out, "EVAL.md")
     with open(log_path, "w") as f:
@@ -225,6 +267,17 @@ def main():
         f.write(f"matched PCC mean {mean_m:.3f} vs mismatched "
                 f"{mean_mm:.3f}; matched beats mismatched on "
                 f"{win}/{total} syntheses\n\n")
+        if sweep_rows:
+            f.write("## Transfer emergence over training\n\n")
+            f.write("| iteration | slope r | range r | PCC matched | "
+                    "PCC mismatched | wins |\n")
+            f.write("|---|---|---|---|---|---|\n")
+            for it_i, s in sweep_rows:
+                f.write(f"| {it_i} | {s['r_slope']:.3f} | "
+                        f"{s['r_range']:.3f} | {s['mean_m']:.3f} | "
+                        f"{s['mean_mm']:.3f} | "
+                        f"{s['win']}/{s['total']} |\n")
+            f.write("\n")
         f.write("| synthesis | PCC | PCC mism. | ref slope | gen slope "
                 "| ref range | gen range |\n")
         f.write("|---|---|---|---|---|---|---|\n")
