@@ -41,8 +41,12 @@ def _wide_head_hparams():
     the same kernels reach much higher MFU here, the flagship's ~0.30
     train MFU is the architecture's ceiling, not a kernel regression.
     """
+    # conv_channels 512 (not the flagship's 1024): at hidden 512 the
+    # conv-FF bwd kernel's weight+hidden tiles would exceed the 16 MB
+    # scoped VMEM; the ablation's object of study is the ATTENTION
+    # backward at full-lane head width, which conv channels don't touch
     wide = dict(hidden_embed_dim=512, attn_nb_heads=4, attn_dropout=0.1,
-                conv_kernel=3, conv_channels=1024, conv_dropout=0.1)
+                conv_kernel=3, conv_channels=512, conv_dropout=0.1)
     return _flagship_hparams(
         prosody_encoder=dict(wide, nb_blocks=4),
         phoneme_encoder=dict(wide, nb_blocks=4),
@@ -61,6 +65,12 @@ def main():
                     "ablation config instead of the flagship")
     args = ap.parse_args()
 
+    if args.wide_heads:
+        # the conv-FF custom kernel cannot tile hidden 512 inside the
+        # 16 MB scoped VMEM (its design point is the flagship's E=128);
+        # fall it back to XLA and keep the custom ATTENTION kernel --
+        # the pass-count-bound component this ablation interrogates
+        os.environ["DAFT_DISABLE_TRAIN_FF"] = "1"
     hp = _wide_head_hparams() if args.wide_heads else _flagship_hparams()
     rate, mfu, _ = _train_steps_per_sec(hp)
     tag = "wide-head ablation" if args.wide_heads else "flagship"
