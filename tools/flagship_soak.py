@@ -76,20 +76,19 @@ _SPEAKERS = {
 }
 
 
-def build_corpus(root, utts_per_speaker, rng):
-    """Speaker-distinguishable synthetic corpus with varied lengths."""
-    from test_pipeline import _write_textgrid
-    from daft_exprt_tpu.audio.io import save_wav
+def corpus_plan(utts_per_speaker, rng, speakers=None):
+    """Replay-exact utterance plan for :func:`build_corpus`.
 
-    dataset_dir = os.path.join(root, "dataset")
-    features_dir = os.path.join(root, "features")
-    for spk, (f0_base, vib, timbre) in _SPEAKERS.items():
-        wavs = os.path.join(dataset_dir, spk, "wavs")
-        align = os.path.join(dataset_dir, spk, "align")
-        os.makedirs(wavs, exist_ok=True)
-        os.makedirs(align, exist_ok=True)
-        os.makedirs(os.path.join(features_dir, spk), exist_ok=True)
-        meta = []
+    Draws from ``rng`` in EXACTLY the order the round-4 generator did,
+    so seeding with the same seed reproduces the utterance attributes
+    of an already-built corpus (verified byte-identical by
+    tools/range_diagnosis.py --verify_replay). Yields one dict per
+    utterance with the TRUE per-utterance prosody attributes (pitch
+    slope Hz/s, modulation-range factor) that
+    tools/prosody_transfer_eval.py scores transfer against.
+    """
+    speakers = speakers if speakers is not None else _SPEAKERS
+    for spk, (f0_base, vib, timbre) in speakers.items():
         for i in range(utts_per_speaker):
             name = f"{spk}_utt{i:03d}"
             n_words = 1 + int(rng.integers(0, 6))
@@ -100,9 +99,6 @@ def build_corpus(root, utts_per_speaker, rng):
                 durs = [(p, 0.09 + 0.08 * rng.random()) for p in phones]
                 words.append((w, durs))
                 text.append(w)
-            total = _write_textgrid(
-                os.path.join(align, f"{name}.TextGrid"), words)
-            t = np.arange(int(total * FS)) / FS
             # per-utterance GLOBAL prosody attributes — the kind of
             # information a mean-pooled prosody embedding (FiLM) can
             # carry across sentences, so prosody TRANSFER is
@@ -112,28 +108,75 @@ def build_corpus(root, utts_per_speaker, rng):
             # vibrato and a random-phase wander as before
             slope = float(rng.uniform(-40.0, 40.0))
             rng_fac = float(rng.uniform(0.5, 2.0))
-            f0 = (f0_base + slope * (t - total / 2)
-                  + rng_fac * (vib * np.sin(2 * np.pi * 1.5 * t)
+            wander_phase = rng.random() * 6
+            amp_phase = rng.random() * 6
+            yield {"speaker": spk, "name": name, "words": words,
+                   "text": " ".join(text), "slope": slope,
+                   "rng_fac": rng_fac, "wander_phase": wander_phase,
+                   "amp_phase": amp_phase, "f0_base": f0_base,
+                   "vib": vib, "timbre": timbre}
+
+
+def synth_utterance(plan, total):
+    """Render one utterance plan to a waveform of ``total`` seconds."""
+    t = np.arange(int(total * FS)) / FS
+    f0 = (plan["f0_base"] + plan["slope"] * (t - total / 2)
+          + plan["rng_fac"] * (plan["vib"] * np.sin(2 * np.pi * 1.5 * t)
                                + 10.0 * np.sin(2 * np.pi * 0.4 * t
-                                               + rng.random() * 6)))
-            f0 = np.maximum(f0, 40.0)
-            phase = 2 * np.pi * np.cumsum(f0) / FS
-            a1, a2, a3 = timbre
-            wav = (a1 * np.sin(phase) + a2 * np.sin(2 * phase)
-                   + a3 * np.sin(3 * phase)).astype(np.float32)
-            # mild amplitude modulation so energy carries information
-            wav *= (0.7 + 0.3 * np.sin(2 * np.pi * 2.0 * t
-                                       + rng.random() * 6)
-                    ).astype(np.float32)
-            save_wav(os.path.join(wavs, f"{name}.wav"), wav, FS)
-            sentence = " ".join(text)
-            meta.append(f"{name}|{sentence}\n")
-            with open(os.path.join(align, f"{name}.lab"), "w") as f:
-                f.write(sentence)
+                                               + plan["wander_phase"])))
+    f0 = np.maximum(f0, 40.0)
+    phase = 2 * np.pi * np.cumsum(f0) / FS
+    a1, a2, a3 = plan["timbre"]
+    wav = (a1 * np.sin(phase) + a2 * np.sin(2 * phase)
+           + a3 * np.sin(3 * phase)).astype(np.float32)
+    # mild amplitude modulation so energy carries information
+    wav *= (0.7 + 0.3 * np.sin(2 * np.pi * 2.0 * t
+                               + plan["amp_phase"])).astype(np.float32)
+    return wav
+
+
+def build_corpus(root, utts_per_speaker, rng, speakers=None):
+    """Speaker-distinguishable synthetic corpus with varied lengths.
+
+    Writes ``<root>/attributes.json`` mapping each utterance to its
+    TRUE generative prosody attributes so evaluation tools can score
+    transfer against ground truth instead of re-measured audio.
+    """
+    from test_pipeline import _write_textgrid
+    from daft_exprt_tpu.audio.io import save_wav
+
+    speakers = speakers if speakers is not None else _SPEAKERS
+    dataset_dir = os.path.join(root, "dataset")
+    features_dir = os.path.join(root, "features")
+    meta_by_spk = {}
+    attributes = {}
+    for plan in corpus_plan(utts_per_speaker, rng, speakers):
+        spk, name = plan["speaker"], plan["name"]
+        wavs = os.path.join(dataset_dir, spk, "wavs")
+        align = os.path.join(dataset_dir, spk, "align")
+        if spk not in meta_by_spk:
+            os.makedirs(wavs, exist_ok=True)
+            os.makedirs(align, exist_ok=True)
+            os.makedirs(os.path.join(features_dir, spk), exist_ok=True)
+            meta_by_spk[spk] = []
+        total = _write_textgrid(
+            os.path.join(align, f"{name}.TextGrid"), plan["words"])
+        wav = synth_utterance(plan, total)
+        save_wav(os.path.join(wavs, f"{name}.wav"), wav, FS)
+        meta_by_spk[spk].append(f"{name}|{plan['text']}\n")
+        with open(os.path.join(align, f"{name}.lab"), "w") as f:
+            f.write(plan["text"])
+        attributes[name] = {
+            "speaker": spk, "slope": plan["slope"],
+            "rng_fac": plan["rng_fac"], "f0_base": plan["f0_base"],
+            "vib": plan["vib"], "duration_sec": float(total)}
+    for spk, meta in meta_by_spk.items():
         for d in (os.path.join(dataset_dir, spk),
                   os.path.join(features_dir, spk)):
             with open(os.path.join(d, "metadata.csv"), "w") as f:
                 f.writelines(meta)
+    with open(os.path.join(root, "attributes.json"), "w") as f:
+        json.dump(attributes, f, indent=1)
     return dataset_dir, features_dir
 
 
@@ -155,6 +198,22 @@ def main():
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu for a shakeout "
                     "run; default: attached accelerator)")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="corpus-generation seed (replay-exact)")
+    ap.add_argument("--adv_max", type=float, default=None,
+                    help="override hp.adv_max_weight (ablation arm: 0 "
+                         "disables the adversarial speaker loss)")
+    ap.add_argument("--post_mult", type=float, default=None,
+                    help="override hp.post_mult_weight (FiLM "
+                         "post-multiplier L2 penalty ablation)")
+    ap.add_argument("--equal_vib", type=float, default=None,
+                    help="give EVERY speaker this vibrato depth so the "
+                         "absolute F0 modulation range is a purely "
+                         "per-utterance attribute, decorrelated from "
+                         "speaker identity (range-transfer ablation)")
+    ap.add_argument("--ckpt_every", type=int, default=5000,
+                    help="hp.iters_per_checkpoint (sweep granularity "
+                         "for tools/prosody_transfer_eval.py --sweep)")
     args = ap.parse_args()
 
     from daft_exprt_tpu.utils import enable_compile_cache
@@ -173,12 +232,17 @@ def main():
     root = args.out
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root)
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(args.seed)
+
+    speakers = _SPEAKERS
+    if args.equal_vib is not None:
+        speakers = {spk: (f0, args.equal_vib, timbre)
+                    for spk, (f0, _vib, timbre) in _SPEAKERS.items()}
 
     # ---- corpus + preprocessing (device-batched mel + NCCF pitch) ----
     t0 = time.time()
     dataset_dir, features_dir = build_corpus(
-        root, args.utts_per_speaker, rng)
+        root, args.utts_per_speaker, rng, speakers)
     exp_dir = os.path.join(root, "exp")
     os.makedirs(exp_dir, exist_ok=True)
     # FLAGSHIP config: every architecture field is the shipped default
@@ -190,7 +254,7 @@ def main():
         validation_files=os.path.join(exp_dir, "val.txt"),
         output_directory=exp_dir,
         language="english",
-        speakers=sorted(_SPEAKERS),
+        speakers=sorted(speakers),
         compute_dtype="bfloat16",
     )
     for spk in hp.speakers:
@@ -203,9 +267,40 @@ def main():
     _logger.info("corpus + features in %.0fs", time.time() - t0)
 
     # shipped effective batch 48 = 16 x 3 (reference hparams.py:66-67)
-    hp.iters_per_checkpoint = 5000
+    hp.iters_per_checkpoint = args.ckpt_every
     hp.iters_check_for_model_improvement = args.val_every
     hp.nb_iterations = args.iters
+    if args.adv_max is not None:
+        hp.adv_max_weight = args.adv_max
+    if args.post_mult is not None:
+        hp.post_mult_weight = args.post_mult
+
+    # turnkey-reproduction manifest (VERDICT r4 weakness #6): the exact
+    # command, seed and knobs that produced every artifact in --out
+    import subprocess
+    try:
+        git_rev = subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd=_ROOT, capture_output=True,
+            text=True, timeout=10).stdout.strip()
+    except Exception:
+        git_rev = "unknown"
+    manifest = {
+        "tool": "tools/flagship_soak.py",
+        "argv": sys.argv[1:],
+        "seed": args.seed,
+        "git_rev": git_rev,
+        "utts_per_speaker": args.utts_per_speaker,
+        "iters": args.iters,
+        "adv_max_weight": hp.adv_max_weight,
+        "post_mult_weight": hp.post_mult_weight,
+        "warmup_steps": hp.warmup_steps,
+        "equal_vib": args.equal_vib,
+        "ckpt_every": args.ckpt_every,
+        "val_percent": args.val_percent,
+        "speakers": {k: list(v[:2]) for k, v in speakers.items()},
+    }
+    with open(os.path.join(root, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
 
     # two-sentence benchmark file so the GL hook is exercised without
     # dominating wall time (the repo's 18-sentence bank is for real runs)
@@ -290,7 +385,7 @@ def main():
                 f"(warmup_steps={hp.warmup_steps}, "
                 f"adv_max={hp.adv_max_weight}) and FiLM penalty "
                 f"(post_mult_weight={hp.post_mult_weight})\n")
-        f.write(f"- corpus: {len(_SPEAKERS)} speakers x "
+        f.write(f"- corpus: {len(speakers)} speakers x "
                 f"{args.utts_per_speaker} utts, distinct base F0 "
                 f"100-300 Hz, 1-6 words/utt (multi-bucket lengths); "
                 f"effective batch {hp.batch_size}x"
@@ -321,6 +416,11 @@ def main():
     with open(os.path.join(root, "history.json"), "w") as f:
         json.dump({str(k): {kk: float(vv) for kk, vv in v.items()}
                    for k, v in history.items()}, f, indent=1)
+    manifest.update(wall_clock_sec=round(wall, 1),
+                    steps_per_sec=round(steps_per_sec, 3),
+                    device=jax.devices()[0].device_kind)
+    with open(os.path.join(root, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
 
     # hard convergence gates
     assert last["mel_spec_l1_loss"] < first["mel_spec_l1_loss"] * 0.5, \

@@ -80,19 +80,21 @@ def main():
     from synthesize import load_any_checkpoint
 
     from daft_exprt_tpu.audio.io import load_wav
-    from daft_exprt_tpu.audio.pitch import track_pitch
+    from daft_exprt_tpu.audio.pitch import robust_slope_range, track_pitch
 
     def slope_and_range(wav_path):
-        """(slope Hz/s, modulation range Hz) of a wav's voiced F0."""
+        """(slope Hz/s, modulation range Hz) of a wav's voiced F0.
+
+        Round 5: uses the trend-folded robust estimator — the round-4
+        naive residual-std range could not recover the TRUE generative
+        range from even the ground-truth corpus wavs (r = 0.23 vs 0.97
+        robust, docs/RANGE_DIAG_r05.md), which is what produced the
+        spurious "range does not transfer" r = -0.19.
+        """
         x, fs = load_wav(wav_path, target_sr=22050)
         f0, starts = track_pitch(x, fs)  # starts = sample indices
         t = np.asarray(starts, np.float64) / fs
-        v = f0 > 0
-        if v.sum() < 8:
-            return float("nan"), float("nan")
-        coef = np.polyfit(t[v], f0[v], 1)
-        resid = f0[v] - np.polyval(coef, t[v])
-        return float(coef[0]), float(np.std(resid))
+        return robust_slope_range(np.asarray(f0, np.float64), t)
 
     from daft_exprt_tpu.inference.generate import (
         InferenceEngine, extract_reference_parameters, generate_mel_specs,
@@ -148,6 +150,24 @@ def main():
     ref_attrs = {r[3]: slope_and_range(r[3]) for r in refs}
     ref_wavs_all = [r[3] for r in refs]
 
+    # TRUE generative attributes, if the soak recorded them
+    # (tools/flagship_soak.py writes attributes.json since round 5;
+    # tools/range_diagnosis.py can replay-recover them for older soaks)
+    true_attrs = {}
+    spk_vib = {}
+    attr_path = os.path.join(args.soak, "attributes.json")
+    if os.path.isfile(attr_path):
+        raw = json.load(open(attr_path))
+        spk_vib = {a["speaker"]: float(a["vib"]) for a in raw.values()}
+        for spk, sid, utt, wav in refs:
+            if utt in raw:
+                true_attrs[wav] = (float(raw[utt]["slope"]),
+                                   float(raw[utt]["rng_fac"]))
+        _logger.info("true attributes available for %d/%d references",
+                     len(true_attrs), len(refs))
+    sid_to_vib = {sid: spk_vib.get(spk, float("nan"))
+                  for spk, sid in spk_to_id.items()}
+
     def score_current_params(out_dir):
         """Synthesize the grid with the engine's CURRENT params into
         ``out_dir`` and score it. Compiled graphs are reused across
@@ -172,6 +192,8 @@ def main():
 
         matched, mismatched = [], []
         sr_, sg_, rr_, rg_ = [], [], [], []
+        ts_, tsg_, tr_, trg_ = [], [], [], []
+        tgt_by_name = {j[3]: j[2] for j in jobs}
         rows = []
         for name, gen in sorted(gen_wavs.items()):
             base = next(k for k in ref_wav_by_name
@@ -194,6 +216,15 @@ def main():
             if np.isfinite(rr) and np.isfinite(gr):
                 rr_.append(rr)
                 rg_.append(gr)
+            if ref_wav in true_attrs:
+                slope_t, rngfac_t = true_attrs[ref_wav]
+                vib_t = sid_to_vib.get(tgt_by_name[base], float("nan"))
+                if np.isfinite(gs):
+                    ts_.append(slope_t)
+                    tsg_.append(gs)
+                if np.isfinite(gr) and np.isfinite(vib_t):
+                    tr_.append(rngfac_t)
+                    trg_.append(gr / vib_t)
             rows.append((name, m, mm, rs, gs, rr, gr))
             _logger.info("%s: PCC %.3f/%.3f slope %+.1f->%+.1f Hz/s "
                          "range %.1f->%.1f Hz", name, m, mm, rs, gs,
@@ -202,6 +233,12 @@ def main():
             "rows": rows,
             "r_slope": _pearson(sr_, sg_),
             "r_range": _pearson(rr_, rg_),
+            # vs the TRUE generative attributes (no measurement noise
+            # on the reference side; gen range normalized by the
+            # TARGET speaker's vibrato depth)
+            "r_slope_true": _pearson(ts_, tsg_),
+            "r_range_true": _pearson(tr_, trg_),
+            "n_true": len(ts_),
             "n_slope": len(sr_),
             "n_range": len(rr_),
             "mean_m": float(np.mean(matched)),
@@ -264,17 +301,27 @@ def main():
         f.write(f"**slope transfer r = {r_slope:.3f} (n = "
                 f"{len(slopes_ref)}); range transfer r = {r_range:.3f} "
                 f"(n = {len(ranges_ref)})**\n\n")
+        if summary.get("n_true"):
+            f.write(f"**vs TRUE generative attributes (attributes."
+                    f"json): slope r = {summary['r_slope_true']:.3f}, "
+                    f"range-factor r = {summary['r_range_true']:.3f} "
+                    f"(n = {summary['n_true']}; gen range normalized "
+                    f"by target-speaker vibrato depth)**\n\n")
         f.write(f"matched PCC mean {mean_m:.3f} vs mismatched "
                 f"{mean_mm:.3f}; matched beats mismatched on "
                 f"{win}/{total} syntheses\n\n")
         if sweep_rows:
             f.write("## Transfer emergence over training\n\n")
-            f.write("| iteration | slope r | range r | PCC matched | "
-                    "PCC mismatched | wins |\n")
-            f.write("|---|---|---|---|---|---|\n")
+            f.write("| iteration | slope r | range r | slope r (true) "
+                    "| range r (true) | PCC matched | PCC mismatched "
+                    "| wins |\n")
+            f.write("|---|---|---|---|---|---|---|---|\n")
             for it_i, s in sweep_rows:
                 f.write(f"| {it_i} | {s['r_slope']:.3f} | "
-                        f"{s['r_range']:.3f} | {s['mean_m']:.3f} | "
+                        f"{s['r_range']:.3f} | "
+                        f"{s.get('r_slope_true', float('nan')):.3f} | "
+                        f"{s.get('r_range_true', float('nan')):.3f} | "
+                        f"{s['mean_m']:.3f} | "
                         f"{s['mean_mm']:.3f} | "
                         f"{s['win']}/{s['total']} |\n")
             f.write("\n")
@@ -284,10 +331,29 @@ def main():
         for name, m, mm, rs, gs, rr, gr in rows:
             f.write(f"| {name} | {m:.3f} | {mm:.3f} | {rs:+.1f} | "
                     f"{gs:+.1f} | {rr:.1f} | {gr:.1f} |\n")
+    # turnkey-reproduction manifest (VERDICT r4 weakness #6)
+    import subprocess
+    try:
+        git_rev = subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd=_ROOT, capture_output=True,
+            text=True, timeout=10).stdout.strip()
+    except Exception:
+        git_rev = "unknown"
+    with open(os.path.join(args.out, "manifest.json"), "w") as f:
+        json.dump({"tool": "tools/prosody_transfer_eval.py",
+                   "argv": sys.argv[1:], "git_rev": git_rev,
+                   "soak": args.soak, "checkpoint": ckpt,
+                   "iteration": it, "n_refs": len(refs),
+                   "estimator": "robust_slope_range (trend-folded MAD,"
+                                " audio/pitch.py)"}, f, indent=1)
     print(f"log written to {log_path}")
     print(f"PROSODY TRANSFER: slope r {r_slope:.3f}, range r "
           f"{r_range:.3f}; PCC matched {mean_m:.3f} vs mismatched "
           f"{mean_mm:.3f} ({win}/{total} wins)")
+    if summary.get("n_true"):
+        print(f"  vs TRUE attributes: slope r "
+              f"{summary['r_slope_true']:.3f}, range-factor r "
+              f"{summary['r_range_true']:.3f} (n={summary['n_true']})")
     if args.strict:
         assert r_slope > 0.5, f"slope transfer r {r_slope:.3f}"
         assert mean_m > mean_mm, (mean_m, mean_mm)

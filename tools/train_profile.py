@@ -65,12 +65,9 @@ def main():
                     "ablation config instead of the flagship")
     args = ap.parse_args()
 
-    if args.wide_heads:
-        # the conv-FF custom kernel cannot tile hidden 512 inside the
-        # 16 MB scoped VMEM (its design point is the flagship's E=128);
-        # fall it back to XLA and keep the custom ATTENTION kernel --
-        # the pass-count-bound component this ablation interrogates
-        os.environ["DAFT_DISABLE_TRAIN_FF"] = "1"
+    # hidden-512 conv-FF now falls back to XLA automatically: the VMEM
+    # footprint gate in ops/conv_ff_train.use_train_conv_ff rejects it
+    # (round 4 needed DAFT_DISABLE_TRAIN_FF=1 by hand here)
     hp = _wide_head_hparams() if args.wide_heads else _flagship_hparams()
     rate, mfu, _ = _train_steps_per_sec(hp)
     tag = "wide-head ablation" if args.wide_heads else "flagship"
