@@ -548,6 +548,12 @@ class SynthesisService:
                 "styles": len(self.styles),
                 "dynamic_batching": self.batcher is not None,
                 "streaming": self.streamer is not None,
+                # endurance counters: compiled-executable growth must
+                # be bounded by the bucket grid under sustained mixed
+                # traffic (tools/serve_endurance_soak.py pins this)
+                "compiled_executables": len(self.engine._compiled),
+                "film_cache_entries": len(self.engine._film_cache())
+                if self.engine.mesh is None else 0,
             }
 
     def _warn_truncated(self):

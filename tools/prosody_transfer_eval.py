@@ -76,11 +76,26 @@ def main():
     from daft_exprt_tpu.utils import enable_compile_cache
     enable_compile_cache()
 
-    from compare_pitch_curves import pcc_between_wavs
+    from compare_pitch_curves import pcc_on_2_pitch_curves
     from synthesize import load_any_checkpoint
 
     from daft_exprt_tpu.audio.io import load_wav
     from daft_exprt_tpu.audio.pitch import robust_slope_range, track_pitch
+
+    from functools import lru_cache
+
+    @lru_cache(maxsize=16384)
+    def _track(wav_path):
+        """Memoized pitch track: the matched-vs-mismatched PCC control
+        compares every generated wav against EVERY reference, which
+        round 4 paid as O(n^2) re-tracking of the same files."""
+        x, fs = load_wav(wav_path, target_sr=22050)
+        f0, starts = track_pitch(x, fs)  # starts = sample indices
+        return (np.asarray(f0, np.float64),
+                np.asarray(starts, np.float64) / fs)
+
+    def pcc_between_wavs(wav_a, wav_b):
+        return pcc_on_2_pitch_curves(_track(wav_a)[0], _track(wav_b)[0])
 
     def slope_and_range(wav_path):
         """(slope Hz/s, modulation range Hz) of a wav's voiced F0.
@@ -91,10 +106,8 @@ def main():
         robust, docs/RANGE_DIAG_r05.md), which is what produced the
         spurious "range does not transfer" r = -0.19.
         """
-        x, fs = load_wav(wav_path, target_sr=22050)
-        f0, starts = track_pitch(x, fs)  # starts = sample indices
-        t = np.asarray(starts, np.float64) / fs
-        return robust_slope_range(np.asarray(f0, np.float64), t)
+        f0, t = _track(wav_path)
+        return robust_slope_range(f0, t)
 
     from daft_exprt_tpu.inference.generate import (
         InferenceEngine, extract_reference_parameters, generate_mel_specs,

@@ -11,8 +11,10 @@ the same assets the REAPER golden pitch tests use.
 
 Evidence produced (markdown log + hard asserts):
   * full-utterance re-vocoded mel-L1 (generator(mel(wav)) vs wav, the
-    fmax-None loss mel) over all 15 recordings: fresh-init vs
-    fine-tuned — must drop materially;
+    fmax-None loss mel): fresh-init vs fine-tuned — must drop
+    materially BOTH on the training files and on a HELD-OUT split
+    (default 3 of 15) the GAN never saw, so the win is generalization
+    rather than memorization (round 4 evaluated in-sample only);
   * training mel_l1 from vocoder_metrics.jsonl decreasing;
   * streaming output still byte-equal to the batch path with the
     fine-tuned weights on a real utterance.
@@ -41,13 +43,15 @@ SR = 22050
 HOP = 256
 
 
-def link_corpus(root):
+def link_corpus(root, exclude=()):
     """Symlink the real recordings into <root>/data/<speaker>/ (the
-    VocoderDataset layout), grouped by ESD speaker id / LJ refs."""
+    VocoderDataset layout), grouped by ESD speaker id / LJ refs.
+    Files in ``exclude`` are held out of training entirely."""
+    exclude = set(exclude)
     data = os.path.join(root, "data")
     n = 0
     for f in sorted(os.listdir(STYLE_BANK)):
-        if not f.endswith(".wav"):
+        if not f.endswith(".wav") or f in exclude:
             continue
         spk = f.split("_")[0] if f[0].isdigit() and "_audio_ref" not in f \
             else "lj"
@@ -55,7 +59,8 @@ def link_corpus(root):
         os.makedirs(d, exist_ok=True)
         os.symlink(os.path.join(STYLE_BANK, f), os.path.join(d, f))
         n += 1
-    assert n == 15, f"expected the 15 reference recordings, found {n}"
+    assert n == 15 - len(exclude), \
+        f"expected {15 - len(exclude)} training recordings, found {n}"
     return data
 
 
@@ -89,6 +94,11 @@ def main():
     ap.add_argument("--out", default="/tmp/daft_exprt_voc_real_soak")
     ap.add_argument("--log", default=None,
                     help="markdown log path (default <out>/SOAK.md)")
+    ap.add_argument("--holdout", type=int, default=3,
+                    help="recordings held OUT of training and scored "
+                         "separately (VERDICT r4 weakness #3: the "
+                         "round-4 -83%% was in-sample on all 15; 0 "
+                         "restores that behavior)")
     args = ap.parse_args()
 
     from daft_exprt_tpu.utils import enable_compile_cache
@@ -103,11 +113,14 @@ def main():
     root = args.out
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root)
-    data = link_corpus(root)
-    out = os.path.join(root, "out")
-    wav_paths = [os.path.join(STYLE_BANK, f)
-                 for f in sorted(os.listdir(STYLE_BANK))
+    all_files = [f for f in sorted(os.listdir(STYLE_BANK))
                  if f.endswith(".wav")]
+    # deterministic spread across the sorted list (hits both the ESD
+    # speakers and the LJ-style refs)
+    holdout = set(all_files[4::5][:args.holdout])
+    data = link_corpus(root, exclude=holdout)
+    out = os.path.join(root, "out")
+    wav_paths = [os.path.join(STYLE_BANK, f) for f in all_files]
 
     # the exact configs fine_tune_vocoder(from_audio=True) trains with
     gen = HiFiGanGenerator()
@@ -177,9 +190,33 @@ def main():
                        f"RMS {rms:.2e} (cross-graph f32 tiling noise; "
                        f"byte-equality pinned on CPU by the suite)")
 
-    mean_before = float(np.mean(list(before.values())))
-    mean_after = float(np.mean(list(after.values())))
+    train_files = [f for f in all_files if f not in holdout]
+
+    def split_mean(d, files):
+        vals = [d[f] for f in files if f in d]
+        return float(np.mean(vals)) if vals else float("nan")
+
+    mean_before = split_mean(before, train_files)
+    mean_after = split_mean(after, train_files)
     drop = 1.0 - mean_after / mean_before
+    ho_before = split_mean(before, sorted(holdout))
+    ho_after = split_mean(after, sorted(holdout))
+    ho_drop = 1.0 - ho_after / ho_before if holdout else float("nan")
+
+    # turnkey-reproduction manifest (VERDICT r4 weakness #6)
+    import subprocess
+    try:
+        git_rev = subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd=_ROOT, capture_output=True,
+            text=True, timeout=10).stdout.strip()
+    except Exception:
+        git_rev = "unknown"
+    with open(os.path.join(root, "manifest.json"), "w") as f:
+        json.dump({"tool": "tools/vocoder_real_speech_soak.py",
+                   "argv": sys.argv[1:], "git_rev": git_rev,
+                   "steps": args.steps, "batch_size": args.batch_size,
+                   "seed": 1234, "holdout_files": sorted(holdout),
+                   "corpus": STYLE_BANK}, f, indent=1)
 
     log_path = args.log or os.path.join(root, "SOAK.md")
     with open(log_path, "w") as f:
@@ -196,15 +233,25 @@ def main():
                 f"(step {train_first['step']}) -> "
                 f"{train_last['mel_l1']:.4f} (step {train_last['step']}), "
                 f"{train_last['sec_per_step']:.3f} s/step\n")
-        f.write(f"- full-utterance re-vocoded mel-L1 (all 15 files): "
+        f.write(f"- full-utterance re-vocoded mel-L1 on the "
+                f"{len(train_files)} TRAINING files: "
                 f"**{mean_before:.4f} -> {mean_after:.4f}** "
                 f"({drop:.0%} drop)\n")
+        if holdout:
+            f.write(f"- re-vocoded mel-L1 on the {len(holdout)} "
+                    f"HELD-OUT files (never seen in training): "
+                    f"**{ho_before:.4f} -> {ho_after:.4f}** "
+                    f"({ho_drop:.0%} drop) — generalization, not "
+                    f"memorization (round 4 evaluated in-sample only)\n")
         f.write(f"- streaming vs batch with fine-tuned weights on "
                 f"{os.path.basename(longest)} ({len(streamed)} "
                 f"samples): **{stream_desc}**\n\n")
-        f.write("| file | fresh init | fine-tuned |\n|---|---|---|\n")
+        f.write("| file | split | fresh init | fine-tuned |\n"
+                "|---|---|---|---|\n")
         for k in sorted(before):
-            f.write(f"| {k} | {before[k]:.4f} | {after[k]:.4f} |\n")
+            split = "held-out" if k in holdout else "train"
+            f.write(f"| {k} | {split} | {before[k]:.4f} | "
+                    f"{after[k]:.4f} |\n")
     print(f"log written to {log_path}")
 
     assert np.isfinite(train_last["loss_g"]) and np.isfinite(
@@ -214,9 +261,16 @@ def main():
     assert drop > 0.25, (
         f"re-vocoded mel-L1 only dropped {drop:.0%} "
         f"({mean_before:.4f} -> {mean_after:.4f})")
+    if holdout:
+        assert ho_drop > 0.25, (
+            f"HELD-OUT re-vocoded mel-L1 only dropped {ho_drop:.0%} "
+            f"({ho_before:.4f} -> {ho_after:.4f}) — the vocoder is "
+            f"memorizing, not generalizing")
     assert stream_ok, f"streaming/batch disagree: {stream_desc}"
-    print(f"VOCODER REAL-SPEECH SOAK OK: re-vocoded mel-L1 "
+    print(f"VOCODER REAL-SPEECH SOAK OK: re-vocoded mel-L1 train "
           f"{mean_before:.4f} -> {mean_after:.4f} ({drop:.0%}), "
+          f"held-out {ho_before:.4f} -> {ho_after:.4f} "
+          f"({(ho_drop if holdout else float('nan')):.0%}), "
           f"streaming ok ({stream_desc}), "
           f"{train_last['sec_per_step']:.3f} s/step")
 
