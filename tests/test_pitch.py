@@ -106,3 +106,42 @@ def test_batched_jax_parity():
         assert np.mean((sub > 0) == (f0_h > 0)) == 1.0
         both = (sub > 0) & (f0_h > 0)
         np.testing.assert_allclose(sub[both], f0_h[both], atol=1e-3)
+
+
+def test_robust_slope_range_recovers_attributes():
+    """Trend-folded estimator: exact on clean tracks, immune to octave
+    errors and voicing glitches that break the naive residual std
+    (docs/RANGE_DIAG_r05.md: naive r=0.23 vs robust r=0.97 against the
+    true generative range on the soak corpus)."""
+    from daft_exprt_tpu.audio.pitch import robust_slope_range
+
+    rng = np.random.default_rng(0)
+    t = np.arange(0, 3.0, 0.005)
+    slope, depth = 30.0, 12.0
+    f0 = 200.0 + slope * (t - 1.5) + depth * np.sin(2 * np.pi * 1.5 * t)
+
+    sl, rg = robust_slope_range(f0, t)
+    assert abs(sl - slope) < 2.0
+    # MAD scale of a sinusoid: 1.4826 * median|sin| * depth ~ 1.05*depth
+    assert abs(rg - depth) < 2.0
+
+    # inject 10% octave errors (up and down) + unvoiced dropouts
+    bad = f0.copy()
+    idx = rng.permutation(len(t))
+    bad[idx[:30]] *= 2.0
+    bad[idx[30:60]] *= 0.5
+    bad[idx[60:90]] = 0.0
+    sl2, rg2 = robust_slope_range(bad, t)
+    assert abs(sl2 - slope) < 3.0
+    assert abs(rg2 - rg) < 2.0
+
+    # naive residual std on the corrupted track is wildly inflated —
+    # the round-4 failure mode this estimator replaces
+    v = bad > 0
+    coef = np.polyfit(t[v], bad[v], 1)
+    naive = np.std(bad[v] - np.polyval(coef, t[v]))
+    assert naive > 3 * rg2
+
+    # too few voiced frames -> NaNs, not a crash
+    sl3, rg3 = robust_slope_range(np.zeros(50), np.arange(50) * 0.005)
+    assert np.isnan(sl3) and np.isnan(rg3)
