@@ -27,7 +27,7 @@ import numpy as np
 from daft_exprt_tpu.ops.attention_train import attention_core, \
     use_train_attention
 from daft_exprt_tpu.ops.conv_ff_train import conv_ff_train, \
-    use_train_conv_ff
+    conv_ff_train_blocked, plan_conv_ff, use_train_conv_ff
 from daft_exprt_tpu.ops.fft_block import fused_fft_block, \
     use_fused_fft_block
 
@@ -374,10 +374,14 @@ def conv_ff_apply(params, x, film_params, *, conv_dropout, rng,
     B, T, E = x.shape
     kernel = params["conv1"]["w"].shape[0]
     C = params["conv1"]["w"].shape[2]
-    if use_train_conv_ff(T, E, C, kernel):
+    plan = plan_conv_ff(T, E, C, kernel)
+    if plan is not None:
         # Custom-VJP Pallas kernels (recompute backward, in-kernel
         # dropout): the staged XLA formulation round-trips the (T, C)
-        # hidden through HBM in both autodiff directions.
+        # hidden through HBM in both autodiff directions. Wide embeds
+        # whose (T, C) hidden + weights exceed scoped VMEM run the
+        # C-blocked variant (plan < C); impossible fits fall through
+        # to XLA (plan is None) instead of OOMing in Mosaic.
         rate = float(conv_dropout) if not deterministic else 0.0
         if rate > 0.0:
             rng, sub = jax.random.split(rng)
@@ -391,12 +395,16 @@ def conv_ff_apply(params, x, film_params, *, conv_dropout, rng,
                  jnp.zeros((B, E), jnp.float32)], axis=1)
         else:
             film = film_params.astype(jnp.float32)
-        return conv_ff_train(
-            x, params["conv1"]["w"], params["conv1"]["b"].reshape(1, -1),
-            params["conv2"]["w"], params["conv2"]["b"].reshape(1, -1),
-            params["ln"]["scale"].reshape(1, -1),
-            params["ln"]["bias"].reshape(1, -1), film[:, None, :],
-            seeds, rate, dtype)
+        packed = (x, params["conv1"]["w"],
+                  params["conv1"]["b"].reshape(1, -1),
+                  params["conv2"]["w"],
+                  params["conv2"]["b"].reshape(1, -1),
+                  params["ln"]["scale"].reshape(1, -1),
+                  params["ln"]["bias"].reshape(1, -1), film[:, None, :],
+                  seeds, rate)
+        if plan == C:
+            return conv_ff_train(*packed, dtype)
+        return conv_ff_train_blocked(*packed, plan, dtype)
 
     h = conv1d_apply(params["conv1"], x, dtype,
                      matmul_form=not deterministic)

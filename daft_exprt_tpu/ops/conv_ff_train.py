@@ -357,3 +357,321 @@ def use_train_conv_ff(t: int, e: int, c: int, kernel: int) -> bool:
             and t % 8 == 0 and 128 <= t <= 1024 and e % 128 == 0
             and c % 128 == 0
             and conv_ff_vmem_bytes(t, e, c) <= _vmem_budget_bytes())
+
+
+# ---------------------------------------------------------------------------
+# C-blocked variants: hidden channels processed in VMEM-sized blocks
+# (VERDICT r4 #6 — wide configs like hidden 512 could not fit the
+# (T, C) hidden + both weight tensors in scoped VMEM, so training fell
+# back to XLA). The hidden conv dim C is contracted by conv2, so a2 is
+# accumulated across C-blocks in VMEM scratch; the backward adds a
+# second grid phase that re-derives per-block hiddens for the weight /
+# data gradients after the (T, E)-sized LayerNorm backward is computed
+# once. Semantics (incl. the counter-hash dropout masks) are identical
+# to the unblocked kernels; parity is pinned by tests on CPU interpret
+# mode and block size is chosen by plan_conv_ff's footprint model.
+def _fwd_kernel_blocked(seeds_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                        ln_s_ref, ln_b_ref, film_ref, o_ref, acc_ref, *,
+                        dot_dtype, rate, ncb):
+    b = pl.program_id(0)
+    cb = pl.program_id(1)
+    seed = seeds_ref[b]
+    x = x_ref[0]
+    E = x.shape[1]
+    xc = x.astype(dot_dtype)
+    a1 = _conv3(xc, w1_ref, dot_dtype) + b1_ref[0]      # (T, Cb) f32
+    h = jnp.where(a1 > 0.0, a1, 0.0).astype(dot_dtype)
+    part = _conv3(h, w2_ref, dot_dtype)                 # (T, E) f32
+
+    @pl.when(cb == 0)
+    def _():
+        acc_ref[...] = part + b2_ref[0]
+
+    @pl.when(cb > 0)
+    def _():
+        acc_ref[...] += part
+
+    @pl.when(cb == ncb - 1)
+    def _():
+        a2 = acc_ref[...]
+        if rate > 0.0:
+            keep = _keep_mask(seed, 0, 0, a2.shape,
+                              _dropout_threshold(rate))
+            a2 = jnp.where(keep, a2 / (1.0 - rate), 0.0)
+        r = a2 + x
+        n, _ = _ln_stats(r)
+        y = n * ln_s_ref[0] + ln_b_ref[0]
+        gammas = film_ref[0, :1, :E]
+        betas = film_ref[0, :1, E:]
+        o_ref[0] = gammas * y + betas
+
+
+def _bwd_kernel_blocked(seeds_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                        ln_s_ref, ln_b_ref, film_ref, g_ref,
+                        dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+                        dls_ref, dlb_ref, dfilm_ref, acc_ref, da2_ref, *,
+                        dot_dtype, rate, ncb):
+    b = pl.program_id(0)
+    ph = pl.program_id(1)
+    cb = pl.program_id(2)
+    seed = seeds_ref[b]
+    x = x_ref[0]
+    E = x.shape[1]
+    xc = x.astype(dot_dtype)
+    # per-block hidden recompute (needed in BOTH phases: conv2 partial
+    # in phase 0, gradient operands in phase 1)
+    a1 = _conv3(xc, w1_ref, dot_dtype) + b1_ref[0]      # (T, Cb)
+    a1_pos = a1 > 0.0
+    h = jnp.where(a1_pos, a1, 0.0).astype(dot_dtype)
+
+    # ---- phase 0: accumulate a2, then the (T, E)-local backward ----
+    @pl.when((ph == 0) & (cb == 0))
+    def _():
+        acc_ref[...] = _conv3(h, w2_ref, dot_dtype) + b2_ref[0]
+
+    @pl.when((ph == 0) & (cb > 0))
+    def _():
+        acc_ref[...] += _conv3(h, w2_ref, dot_dtype)
+
+    @pl.when((ph == 0) & (cb == ncb - 1) & (b == 0))
+    def _():
+        dls_ref[0] = jnp.zeros_like(dls_ref[0])
+        dlb_ref[0] = jnp.zeros_like(dlb_ref[0])
+        db2_ref[0] = jnp.zeros_like(db2_ref[0])
+
+    @pl.when((ph == 0) & (cb == ncb - 1))
+    def _():
+        a2 = acc_ref[...]
+        keep = None
+        if rate > 0.0:
+            keep = _keep_mask(seed, 0, 0, a2.shape,
+                              _dropout_threshold(rate))
+            a2 = jnp.where(keep, a2 / (1.0 - rate), 0.0)
+        r = a2 + x
+        n, inv = _ln_stats(r)
+        g = g_ref[0]
+        y_ln = n * ln_s_ref[0] + ln_b_ref[0]
+        gammas = film_ref[0, :1, :E]
+        dfilm_ref[0, 0, :E] = jnp.sum(g * y_ln, axis=0)
+        dfilm_ref[0, 0, E:] = jnp.sum(g, axis=0)
+        dy = g * gammas
+        dls_ref[0] += jnp.sum(dy * n, axis=0)
+        dlb_ref[0] += jnp.sum(dy, axis=0)
+        dn = dy * ln_s_ref[0]
+        dr = (dn - jnp.mean(dn, axis=-1, keepdims=True)
+              - n * jnp.mean(dn * n, axis=-1, keepdims=True)) * inv
+        da2 = dr
+        if rate > 0.0:
+            da2 = jnp.where(keep, dr / (1.0 - rate), 0.0)
+        db2_ref[0] += jnp.sum(da2, axis=0)
+        da2_ref[...] = da2
+        dx_ref[0] = dr  # conv1^T contributions accumulate in phase 1
+
+    # ---- phase 1: per-block weight/data gradients ----
+    @pl.when((ph == 1) & (b == 0))
+    def _():
+        dw1_ref[...] = jnp.zeros_like(dw1_ref[...])
+        db1_ref[0] = jnp.zeros_like(db1_ref[0])
+        dw2_ref[...] = jnp.zeros_like(dw2_ref[...])
+
+    @pl.when(ph == 1)
+    def _():
+        da2c = da2_ref[...].astype(dot_dtype)
+        for d, hs in enumerate(_shifts(h)):
+            dw2_ref[d] += jax.lax.dot_general(
+                hs, da2c, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        dh = _conv3_t(da2c, w2_ref, dot_dtype)          # (T, Cb)
+        da1 = jnp.where(a1_pos, dh, 0.0)
+        db1_ref[0] += jnp.sum(da1, axis=0)
+        da1c = da1.astype(dot_dtype)
+        for d, xs in enumerate(_shifts(xc)):
+            dw1_ref[d] += jax.lax.dot_general(
+                xs, da1c, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        dx_ref[0] += _conv3_t(da1c, w1_ref, dot_dtype)
+
+
+def _specs_blocked(T, E, CB, ndim_grid):
+    """Input BlockSpecs shared by the blocked fwd (grid (B, NCB)) and
+    bwd (grid (B, 2, NCB)) calls; ``ndim_grid`` dispatches the index
+    arity. cb is always the LAST grid axis."""
+    def idx(fn):
+        if ndim_grid == 2:
+            return lambda b, cb, seeds: fn(b, cb)
+        return lambda b, ph, cb, seeds: fn(b, cb)
+
+    def const(shape):
+        return pl.BlockSpec(shape, idx(lambda b, cb: (0,) * len(shape)),
+                            memory_space=pltpu.VMEM)
+    return [
+        pl.BlockSpec((1, T, E), idx(lambda b, cb: (b, 0, 0)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, E, CB), idx(lambda b, cb: (0, 0, cb)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, CB), idx(lambda b, cb: (0, cb)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, CB, E), idx(lambda b, cb: (0, cb, 0)),
+                     memory_space=pltpu.VMEM),
+        const((1, E)), const((1, E)), const((1, E)),
+        pl.BlockSpec((1, 1, 2 * E), idx(lambda b, cb: (b, 0, 0)),
+                     memory_space=pltpu.VMEM),
+    ]
+
+
+@functools.partial(jax.jit, static_argnames=("rate", "c_block",
+                                             "dot_dtype", "interpret"))
+def _fwd_call_blocked(x, w1, b1, w2, b2, ln_s, ln_b, film, seeds, rate,
+                      c_block, dot_dtype=jnp.bfloat16, interpret=False):
+    B, T, E = x.shape
+    C = w1.shape[-1]
+    ncb = C // c_block
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(B, ncb),
+        in_specs=_specs_blocked(T, E, c_block, 2),
+        out_specs=pl.BlockSpec((1, T, E),
+                               lambda b, cb, seeds: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((T, E), jnp.float32)])
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_blocked, dot_dtype=dot_dtype,
+                          rate=rate, ncb=ncb),
+        out_shape=jax.ShapeDtypeStruct((B, T, E), jnp.float32),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 6 * B * T * E * C,
+            bytes_accessed=(ncb + 1) * B * T * E * 4 + 6 * E * C * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(seeds, x, w1, b1, w2, b2, ln_s, ln_b, film)
+
+
+@functools.partial(jax.jit, static_argnames=("rate", "c_block",
+                                             "dot_dtype", "interpret"))
+def _bwd_call_blocked(x, w1, b1, w2, b2, ln_s, ln_b, film, seeds, g,
+                      rate, c_block, dot_dtype=jnp.bfloat16,
+                      interpret=False):
+    B, T, E = x.shape
+    C = w1.shape[-1]
+    ncb = C // c_block
+
+    def idx(fn):
+        return lambda b, ph, cb, seeds: fn(b, cb)
+
+    def const_out(shape):
+        return pl.BlockSpec(shape, idx(lambda b, cb: (0,) * len(shape)),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(B, 2, ncb),
+        in_specs=_specs_blocked(T, E, c_block, 3) + [
+            pl.BlockSpec((1, T, E), idx(lambda b, cb: (b, 0, 0)),
+                         memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((1, T, E), idx(lambda b, cb: (b, 0, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, E, c_block), idx(lambda b, cb: (0, 0, cb)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_block), idx(lambda b, cb: (0, cb)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, c_block, E), idx(lambda b, cb: (0, cb, 0)),
+                         memory_space=pltpu.VMEM),
+            const_out((1, E)), const_out((1, E)), const_out((1, E)),
+            pl.BlockSpec((1, 1, 2 * E), idx(lambda b, cb: (b, 0, 0)),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((T, E), jnp.float32),
+                        pltpu.VMEM((T, E), jnp.float32)])
+    shapes = (
+        jax.ShapeDtypeStruct((B, T, E), jnp.float32),
+        jax.ShapeDtypeStruct((3, E, C), jnp.float32),
+        jax.ShapeDtypeStruct((1, C), jnp.float32),
+        jax.ShapeDtypeStruct((3, C, E), jnp.float32),
+        jax.ShapeDtypeStruct((1, E), jnp.float32),
+        jax.ShapeDtypeStruct((1, E), jnp.float32),
+        jax.ShapeDtypeStruct((1, E), jnp.float32),
+        jax.ShapeDtypeStruct((B, 1, 2 * E), jnp.float32),
+    )
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel_blocked, dot_dtype=dot_dtype,
+                          rate=rate, ncb=ncb),
+        out_shape=shapes,
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * 7 * B * T * E * C,
+            bytes_accessed=(2 * ncb + 2) * B * T * E * 4
+            + 2 * 6 * E * C * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(seeds, x, w1, b1, w2, b2, ln_s, ln_b, film, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
+def conv_ff_train_blocked(x, w1, b1, w2, b2, ln_s, ln_b, film, seeds,
+                          rate, c_block, dot_dtype=jnp.bfloat16,
+                          interpret=False):
+    """:func:`conv_ff_train` with the hidden C dim processed in
+    ``c_block``-sized VMEM blocks (for wide embeds; same semantics)."""
+    return _fwd_call_blocked(x, w1, b1, w2, b2, ln_s, ln_b, film, seeds,
+                             rate, c_block, dot_dtype=dot_dtype,
+                             interpret=interpret)
+
+
+def _cftb_fwd(x, w1, b1, w2, b2, ln_s, ln_b, film, seeds, rate, c_block,
+              dot_dtype, interpret):
+    out = _fwd_call_blocked(x, w1, b1, w2, b2, ln_s, ln_b, film, seeds,
+                            rate, c_block, dot_dtype=dot_dtype,
+                            interpret=interpret)
+    return out, (x, w1, b1, w2, b2, ln_s, ln_b, film, seeds)
+
+
+def _cftb_bwd(rate, c_block, dot_dtype, interpret, res, g):
+    x, w1, b1, w2, b2, ln_s, ln_b, film, seeds = res
+    dx, dw1, db1, dw2, db2, dls, dlb, dfilm = _bwd_call_blocked(
+        x, w1, b1, w2, b2, ln_s, ln_b, film, seeds,
+        g.astype(jnp.float32), rate, c_block, dot_dtype=dot_dtype,
+        interpret=interpret)
+    return (dx.astype(x.dtype), dw1.astype(w1.dtype), db1.astype(b1.dtype),
+            dw2.astype(w2.dtype), db2.astype(b2.dtype),
+            dls.astype(ln_s.dtype), dlb.astype(ln_b.dtype),
+            dfilm.astype(film.dtype), None)
+
+
+conv_ff_train_blocked.defvjp(_cftb_fwd, _cftb_bwd)
+
+
+def conv_ff_blocked_vmem_bytes(t: int, e: int, cb: int) -> int:
+    """Peak-residency estimate for one BACKWARD grid step of the
+    blocked kernel: x/g/dx (T, E) traffic + the two (T, E) f32
+    scratches (a2 accumulator + stored da2) + both weight blocks
+    (f32 + bf16 cast) + the (T, cb) hidden + the dw accumulator
+    blocks."""
+    io_te = 3 * t * e * 4 + 2 * t * e * 2     # x, g, dx + bf16 casts
+    scratch = 2 * t * e * 4
+    wblocks = 2 * 3 * e * cb * (4 + 2)
+    hidden = t * cb * (4 + 2)
+    dwblocks = 2 * 3 * e * cb * 4
+    return io_te + scratch + wblocks + hidden + dwblocks
+
+
+def plan_conv_ff(t: int, e: int, c: int, kernel: int):
+    """Dispatch plan for the training conv-FF at (T, E, C).
+
+    :return: ``c`` — unblocked custom kernel fits; a smaller multiple
+        of 128 — use :func:`conv_ff_train_blocked` with that block;
+        ``None`` — fall back to XLA autodiff.
+    """
+    if os.environ.get("DAFT_DISABLE_TRAIN_FF", "") == "1":
+        return None
+    if not (jax.default_backend() == "tpu" and kernel == 3
+            and t % 8 == 0 and 128 <= t <= 1024 and e % 128 == 0
+            and c % 128 == 0):
+        return None
+    budget = _vmem_budget_bytes()
+    if conv_ff_vmem_bytes(t, e, c) <= budget:
+        return c
+    for cb in (512, 256, 128):
+        if c % cb == 0 and cb < c \
+                and conv_ff_blocked_vmem_bytes(t, e, cb) <= budget:
+            return cb
+    return None

@@ -157,3 +157,85 @@ def test_attention_head_width_gate(monkeypatch):
     assert not use_train_attention(1024, 1024, 4)
     # T beyond the bucketed cap still falls back
     assert not use_train_attention(2048, 128, 8)
+
+
+# ---------------------------------------------------------------------------
+# C-blocked variant (round 5, for wide embeds): same semantics as the
+# unblocked kernel with the hidden processed in VMEM-sized C blocks.
+@pytest.mark.parametrize("c_block", [128, 256])
+def test_blocked_matches_unblocked_and_autodiff(rng_np, c_block):
+    from daft_exprt_tpu.ops.conv_ff_train import conv_ff_train_blocked
+
+    B, T, E, C = 2, 64, 128, 512
+    params = nn.conv_ff_init(jax.random.PRNGKey(2), E, C, 3)
+    x = jnp.asarray(rng_np.standard_normal((B, T, E)), jnp.float32)
+    film = jnp.asarray(rng_np.standard_normal((B, 2 * E)), jnp.float32)
+    seeds = jnp.zeros((B,), jnp.int32)
+    g = jnp.asarray(rng_np.standard_normal((B, T, E)), jnp.float32)
+    args = (x,) + _pack(params, film, B)
+
+    out_blocked = conv_ff_train_blocked(*args, seeds, 0.0, c_block,
+                                        jnp.float32, True)
+    out_full = conv_ff_train(*args, seeds, 0.0, jnp.float32, True)
+    np.testing.assert_allclose(np.asarray(out_blocked),
+                               np.asarray(out_full),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss_blocked(*a):
+        out = conv_ff_train_blocked(*a, seeds, 0.0, c_block,
+                                    jnp.float32, True)
+        return jnp.sum(out * g)
+
+    def loss_ref(x, w1, b1, w2, b2, ls, lb, fi):
+        p = {"conv1": {"w": w1, "b": b1[0]},
+             "conv2": {"w": w2, "b": b2[0]},
+             "ln": {"scale": ls[0], "bias": lb[0]}}
+        out = nn.conv_ff_apply(p, x, fi[:, 0, :], conv_dropout=0.0,
+                               rng=jax.random.PRNGKey(1),
+                               deterministic=True)
+        return jnp.sum(out * g)
+
+    got = jax.grad(loss_blocked, argnums=tuple(range(8)))(*args)
+    want = jax.grad(loss_ref, argnums=tuple(range(8)))(*args)
+    names = ("x", "w1", "b1", "w2", "b2", "ln_s", "ln_b", "film")
+    for name, a, b in zip(names, got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-4, err_msg=name)
+
+
+def test_blocked_dropout_matches_unblocked(rng_np):
+    """The counter-hash dropout mask must be identical between the
+    blocked and unblocked kernels (masks are generated from the same
+    (seed, position) coordinates at the final C block)."""
+    from daft_exprt_tpu.ops.conv_ff_train import conv_ff_train_blocked
+
+    B, T, E, C = 2, 32, 128, 256
+    params = nn.conv_ff_init(jax.random.PRNGKey(3), E, C, 3)
+    x = jnp.asarray(rng_np.standard_normal((B, T, E)), jnp.float32)
+    film = jnp.concatenate([jnp.ones((B, E)), jnp.zeros((B, E))],
+                           axis=1).astype(jnp.float32)
+    seeds = jnp.asarray([17, 23], jnp.int32)
+    args = (x,) + _pack(params, film, B)
+    rate = 0.5
+    o_b = conv_ff_train_blocked(*args, seeds, rate, 128,
+                                jnp.float32, True)
+    o_f = conv_ff_train(*args, seeds, rate, jnp.float32, True)
+    np.testing.assert_allclose(np.asarray(o_b), np.asarray(o_f),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_plan_conv_ff(monkeypatch):
+    from daft_exprt_tpu.ops.conv_ff_train import plan_conv_ff
+    monkeypatch.delenv("DAFT_DISABLE_TRAIN_FF", raising=False)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    # flagship: unblocked kernel fits
+    assert plan_conv_ff(1024, 128, 1024, 3) == 1024
+    # wide-head ablation shapes: blocked dispatch with a VMEM-sized cb
+    plan = plan_conv_ff(768, 512, 512, 3)
+    assert plan is not None and plan < 512 and 512 % plan == 0
+    # k != 3 or unaligned dims: XLA
+    assert plan_conv_ff(768, 512, 512, 5) is None
+    assert plan_conv_ff(100, 512, 512, 3) is None
+    # the blocked estimate still respects the budget env
+    monkeypatch.setenv("DAFT_VMEM_BUDGET_MB", "1")
+    assert plan_conv_ff(768, 512, 512, 3) is None
