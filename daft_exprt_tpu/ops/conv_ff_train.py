@@ -406,40 +406,44 @@ def _fwd_kernel_blocked(seeds_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         o_ref[0] = gammas * y + betas
 
 
-def _bwd_kernel_blocked(seeds_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                        ln_s_ref, ln_b_ref, film_ref, g_ref,
-                        dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
-                        dls_ref, dlb_ref, dfilm_ref, acc_ref, da2_ref, *,
-                        dot_dtype, rate, ncb):
+# The blocked BACKWARD is three pallas calls, because Pallas output
+# blocks only accumulate correctly across CONSECUTIVE grid steps that
+# map to the same block (the buffer is flushed to HBM when the index
+# changes): per-C-block weight grads need cb OUTERMOST (b revisits
+# each dw block contiguously), while the (T, E)-sized row gradients
+# need b outermost — incompatible orders, so they are separate calls
+# that hand off da2/dr/da1 through HBM (small vs the conv FLOPs).
+def _bwd_rowlocal_kernel(seeds_ref, x_ref, w1_ref, b1_ref, w2_ref,
+                         b2_ref, ln_s_ref, ln_b_ref, film_ref, g_ref,
+                         da2_ref, dr_ref, dfilm_ref, db2_ref, dls_ref,
+                         dlb_ref, acc_ref, *, dot_dtype, rate, ncb):
+    """Grid (B, NCB): re-accumulate a2 across C blocks, then the
+    (T, E)-local LayerNorm/FiLM/dropout backward at the last block."""
     b = pl.program_id(0)
-    ph = pl.program_id(1)
-    cb = pl.program_id(2)
+    cb = pl.program_id(1)
     seed = seeds_ref[b]
     x = x_ref[0]
     E = x.shape[1]
     xc = x.astype(dot_dtype)
-    # per-block hidden recompute (needed in BOTH phases: conv2 partial
-    # in phase 0, gradient operands in phase 1)
-    a1 = _conv3(xc, w1_ref, dot_dtype) + b1_ref[0]      # (T, Cb)
-    a1_pos = a1 > 0.0
-    h = jnp.where(a1_pos, a1, 0.0).astype(dot_dtype)
+    a1 = _conv3(xc, w1_ref, dot_dtype) + b1_ref[0]
+    h = jnp.where(a1 > 0.0, a1, 0.0).astype(dot_dtype)
+    part = _conv3(h, w2_ref, dot_dtype)
 
-    # ---- phase 0: accumulate a2, then the (T, E)-local backward ----
-    @pl.when((ph == 0) & (cb == 0))
+    @pl.when(cb == 0)
     def _():
-        acc_ref[...] = _conv3(h, w2_ref, dot_dtype) + b2_ref[0]
+        acc_ref[...] = part + b2_ref[0]
 
-    @pl.when((ph == 0) & (cb > 0))
+    @pl.when(cb > 0)
     def _():
-        acc_ref[...] += _conv3(h, w2_ref, dot_dtype)
+        acc_ref[...] += part
 
-    @pl.when((ph == 0) & (cb == ncb - 1) & (b == 0))
+    @pl.when((cb == ncb - 1) & (b == 0))
     def _():
         dls_ref[0] = jnp.zeros_like(dls_ref[0])
         dlb_ref[0] = jnp.zeros_like(dlb_ref[0])
         db2_ref[0] = jnp.zeros_like(db2_ref[0])
 
-    @pl.when((ph == 0) & (cb == ncb - 1))
+    @pl.when(cb == ncb - 1)
     def _():
         a2 = acc_ref[...]
         keep = None
@@ -464,32 +468,63 @@ def _bwd_kernel_blocked(seeds_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         if rate > 0.0:
             da2 = jnp.where(keep, dr / (1.0 - rate), 0.0)
         db2_ref[0] += jnp.sum(da2, axis=0)
-        da2_ref[...] = da2
-        dx_ref[0] = dr  # conv1^T contributions accumulate in phase 1
+        da2_ref[0] = da2
+        dr_ref[0] = dr
 
-    # ---- phase 1: per-block weight/data gradients ----
-    @pl.when((ph == 1) & (b == 0))
+
+def _bwd_blockgrads_kernel(seeds_ref, x_ref, w1_ref, b1_ref, w2_ref,
+                           da2_ref, dw1_ref, db1_ref, dw2_ref, da1_ref,
+                           *, dot_dtype):
+    """Grid (NCB, B) — cb OUTER so each dw/db block accumulates over
+    consecutive b steps. Also stashes da1 blocks for the dx pass."""
+    cb = pl.program_id(0)
+    b = pl.program_id(1)
+    x = x_ref[0]
+    xc = x.astype(dot_dtype)
+    a1 = _conv3(xc, w1_ref, dot_dtype) + b1_ref[0]
+    a1_pos = a1 > 0.0
+    h = jnp.where(a1_pos, a1, 0.0).astype(dot_dtype)
+    da2c = da2_ref[0].astype(dot_dtype)
+
+    @pl.when(b == 0)
     def _():
         dw1_ref[...] = jnp.zeros_like(dw1_ref[...])
         db1_ref[0] = jnp.zeros_like(db1_ref[0])
         dw2_ref[...] = jnp.zeros_like(dw2_ref[...])
 
-    @pl.when(ph == 1)
+    for d, hs in enumerate(_shifts(h)):
+        dw2_ref[d] += jax.lax.dot_general(
+            hs, da2c, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    dh = _conv3_t(da2c, w2_ref, dot_dtype)              # (T, Cb)
+    da1 = jnp.where(a1_pos, dh, 0.0)
+    db1_ref[0] += jnp.sum(da1, axis=0)
+    da1_ref[0] = da1.astype(dot_dtype)
+    da1c = da1.astype(dot_dtype)
+    for d, xs in enumerate(_shifts(xc)):
+        dw1_ref[d] += jax.lax.dot_general(
+            xs, da1c, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+
+def _bwd_dx_kernel(seeds_ref, dr_ref, w1_ref, da1_ref, dx_ref, dxacc_ref,
+                   *, dot_dtype, ncb):
+    """Grid (B, NCB): dx = dr + sum_cb conv1_cb^T(da1_cb), accumulated
+    in VMEM scratch and written once per row."""
+    cb = pl.program_id(1)
+    part = _conv3_t(da1_ref[0], w1_ref, dot_dtype)      # (T, E)
+
+    @pl.when(cb == 0)
     def _():
-        da2c = da2_ref[...].astype(dot_dtype)
-        for d, hs in enumerate(_shifts(h)):
-            dw2_ref[d] += jax.lax.dot_general(
-                hs, da2c, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        dh = _conv3_t(da2c, w2_ref, dot_dtype)          # (T, Cb)
-        da1 = jnp.where(a1_pos, dh, 0.0)
-        db1_ref[0] += jnp.sum(da1, axis=0)
-        da1c = da1.astype(dot_dtype)
-        for d, xs in enumerate(_shifts(xc)):
-            dw1_ref[d] += jax.lax.dot_general(
-                xs, da1c, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        dx_ref[0] += _conv3_t(da1c, w1_ref, dot_dtype)
+        dxacc_ref[...] = dr_ref[0] + part
+
+    @pl.when(cb > 0)
+    def _():
+        dxacc_ref[...] += part
+
+    @pl.when(cb == ncb - 1)
+    def _():
+        dx_ref[0] = dxacc_ref[...]
 
 
 def _specs_blocked(T, E, CB, ndim_grid):
@@ -555,55 +590,120 @@ def _bwd_call_blocked(x, w1, b1, w2, b2, ln_s, ln_b, film, seeds, g,
     C = w1.shape[-1]
     ncb = C // c_block
 
-    def idx(fn):
-        return lambda b, ph, cb, seeds: fn(b, cb)
+    # ---- call 1: row-local backward (grid (B, NCB), cb inner) ----
+    def idx2(fn):
+        return lambda b, cb, seeds: fn(b, cb)
 
-    def const_out(shape):
-        return pl.BlockSpec(shape, idx(lambda b, cb: (0,) * len(shape)),
+    def const2(shape):
+        return pl.BlockSpec(shape, idx2(lambda b, cb: (0,) * len(shape)),
                             memory_space=pltpu.VMEM)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1, grid=(B, 2, ncb),
-        in_specs=_specs_blocked(T, E, c_block, 3) + [
-            pl.BlockSpec((1, T, E), idx(lambda b, cb: (b, 0, 0)),
+    row_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(B, ncb),
+        in_specs=_specs_blocked(T, E, c_block, 2) + [
+            pl.BlockSpec((1, T, E), idx2(lambda b, cb: (b, 0, 0)),
                          memory_space=pltpu.VMEM)],
         out_specs=(
-            pl.BlockSpec((1, T, E), idx(lambda b, cb: (b, 0, 0)),
+            pl.BlockSpec((1, T, E), idx2(lambda b, cb: (b, 0, 0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, E, c_block), idx(lambda b, cb: (0, 0, cb)),
+            pl.BlockSpec((1, T, E), idx2(lambda b, cb: (b, 0, 0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c_block), idx(lambda b, cb: (0, cb)),
+            pl.BlockSpec((1, 1, 2 * E), idx2(lambda b, cb: (b, 0, 0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, c_block, E), idx(lambda b, cb: (0, cb, 0)),
-                         memory_space=pltpu.VMEM),
-            const_out((1, E)), const_out((1, E)), const_out((1, E)),
-            pl.BlockSpec((1, 1, 2 * E), idx(lambda b, cb: (b, 0, 0)),
-                         memory_space=pltpu.VMEM),
+            const2((1, E)), const2((1, E)), const2((1, E)),
         ),
-        scratch_shapes=[pltpu.VMEM((T, E), jnp.float32),
-                        pltpu.VMEM((T, E), jnp.float32)])
-    shapes = (
-        jax.ShapeDtypeStruct((B, T, E), jnp.float32),
-        jax.ShapeDtypeStruct((3, E, C), jnp.float32),
-        jax.ShapeDtypeStruct((1, C), jnp.float32),
-        jax.ShapeDtypeStruct((3, C, E), jnp.float32),
-        jax.ShapeDtypeStruct((1, E), jnp.float32),
-        jax.ShapeDtypeStruct((1, E), jnp.float32),
-        jax.ShapeDtypeStruct((1, E), jnp.float32),
-        jax.ShapeDtypeStruct((B, 1, 2 * E), jnp.float32),
-    )
-    return pl.pallas_call(
-        functools.partial(_bwd_kernel_blocked, dot_dtype=dot_dtype,
+        scratch_shapes=[pltpu.VMEM((T, E), jnp.float32)])
+    da2, dr, dfilm, db2, dls, dlb = pl.pallas_call(
+        functools.partial(_bwd_rowlocal_kernel, dot_dtype=dot_dtype,
                           rate=rate, ncb=ncb),
-        out_shape=shapes,
-        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, T, E), jnp.float32),
+            jax.ShapeDtypeStruct((B, T, E), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, 2 * E), jnp.float32),
+            jax.ShapeDtypeStruct((1, E), jnp.float32),
+            jax.ShapeDtypeStruct((1, E), jnp.float32),
+            jax.ShapeDtypeStruct((1, E), jnp.float32),
+        ),
+        grid_spec=row_spec,
         cost_estimate=pl.CostEstimate(
-            flops=3 * 2 * 7 * B * T * E * C,
-            bytes_accessed=(2 * ncb + 2) * B * T * E * 4
-            + 2 * 6 * E * C * 4,
+            flops=2 * 2 * B * T * E * C,
+            bytes_accessed=(ncb + 4) * B * T * E * 4 + 6 * E * C * 4,
             transcendentals=0),
         interpret=interpret,
     )(seeds, x, w1, b1, w2, b2, ln_s, ln_b, film, g)
+
+    # ---- call 2: weight grads + da1 stash (grid (NCB, B), b inner) ----
+    def idx_w(fn):
+        return lambda cb, b, seeds: fn(b, cb)
+
+    w_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(ncb, B),
+        in_specs=[
+            pl.BlockSpec((1, T, E), idx_w(lambda b, cb: (b, 0, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, E, c_block), idx_w(lambda b, cb: (0, 0, cb)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_block), idx_w(lambda b, cb: (0, cb)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, c_block, E), idx_w(lambda b, cb: (0, cb, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, E), idx_w(lambda b, cb: (b, 0, 0)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((3, E, c_block), idx_w(lambda b, cb: (0, 0, cb)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_block), idx_w(lambda b, cb: (0, cb)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, c_block, E), idx_w(lambda b, cb: (0, cb, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, c_block), idx_w(lambda b, cb: (b, 0, cb)),
+                         memory_space=pltpu.VMEM),
+        ))
+    dw1, db1, dw2, da1 = pl.pallas_call(
+        functools.partial(_bwd_blockgrads_kernel, dot_dtype=dot_dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((3, E, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((3, C, E), jnp.float32),
+            jax.ShapeDtypeStruct((B, T, C), dot_dtype),
+        ),
+        grid_spec=w_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * 2 * B * T * E * C,
+            bytes_accessed=2 * ncb * B * T * E * 4 + 12 * E * C * 4
+            + B * T * C * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(seeds, x, w1, b1, w2, da2)
+
+    # ---- call 3: dx (grid (B, NCB), scratch accumulation) ----
+    dx_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(B, ncb),
+        in_specs=[
+            pl.BlockSpec((1, T, E), idx2(lambda b, cb: (b, 0, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, E, c_block), idx2(lambda b, cb: (0, 0, cb)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, c_block), idx2(lambda b, cb: (b, 0, cb)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T, E), idx2(lambda b, cb: (b, 0, 0)),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((T, E), jnp.float32)])
+    dx = pl.pallas_call(
+        functools.partial(_bwd_dx_kernel, dot_dtype=dot_dtype, ncb=ncb),
+        out_shape=jax.ShapeDtypeStruct((B, T, E), jnp.float32),
+        grid_spec=dx_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * T * E * C,
+            bytes_accessed=(ncb + 1) * B * T * E * 4 + B * T * C * 2
+            + 3 * E * C * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(seeds, dr, w1, da1)
+
+    return dx, dw1, db1, dw2, db2, dls, dlb, dfilm
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
