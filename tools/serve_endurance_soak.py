@@ -145,8 +145,11 @@ def main():
             assert server.poll() is None, \
                 f"server died during warmup (rc={server.returncode})"
             time.sleep(5)
-        styles = http_json(base + "/styles")["styles"]
-        _logger.info("server healthy; styles: %s", styles)
+        meta = http_json(base + "/styles")
+        styles = meta["styles"]
+        speaker_ids = meta["speakers"]
+        _logger.info("server healthy; styles: %s, speakers: %s",
+                     styles, speaker_ids)
 
         sentences = make_sentences(200, seed=0)
         stop = threading.Event()
@@ -158,7 +161,7 @@ def main():
             while not stop.is_set():
                 body = json.dumps({
                     "text": rng.choice(sentences),
-                    "speaker_id": rng.randrange(6),
+                    "speaker_id": rng.choice(speaker_ids),
                     "style": rng.choice(styles),
                     "pitch_transform": rng.choice(["add", "multiply"]),
                 }).encode()
