@@ -552,8 +552,8 @@ class SynthesisService:
                 # be bounded by the bucket grid under sustained mixed
                 # traffic (tools/serve_endurance_soak.py pins this)
                 "compiled_executables": len(self.engine._compiled),
-                "film_cache_entries": len(self.engine._film_cache())
-                if self.engine.mesh is None else 0,
+                "film_cache_entries": len(
+                    getattr(self.engine, "_films", None) or ()),
             }
 
     def _warn_truncated(self):
