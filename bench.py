@@ -727,13 +727,39 @@ def main():
             "iters": iters, "wall_s": round(wall, 3),
             "device": str(jax.devices()[0]),
         },
-        "flags": _prev_round_flags(rtf, {
+        "serve_endurance": _serve_endurance_summary(),
+        "flags": _serve_endurance_flags() + _prev_round_flags(rtf, {
             "train_steps_per_sec": steps_per_sec,
             "rtf_vocoder_hifigan": rtf_vocoder,
             "rtf_cached_style_bank": rtf_cached,
             "preprocess_rtf_device": pre_rtf,
         }),
     }))
+
+
+def _serve_endurance_summary() -> dict | None:
+    """The last committed serving-endurance soak result
+    (docs/serve_endurance.json, written by
+    tools/serve_endurance_soak.py) — surfaced here so the endurance
+    numbers ride along with every bench record."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "docs", "serve_endurance.json")
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def _serve_endurance_flags() -> list:
+    """VERDICT r4 #7: regression flag for serving endurance. Missing or
+    failed soak evidence is flagged; a passing one adds nothing."""
+    s = _serve_endurance_summary()
+    if s is None:
+        return ["serve_endurance_missing"]
+    if not s.get("passed"):
+        return ["serve_endurance_failed"]
+    return []
 
 
 def _prev_round_flags(rtf: float, keyed: dict) -> list:

@@ -114,8 +114,19 @@ def main():
         prepare_sentences_for_inference)
     from daft_exprt_tpu.models.daft_exprt import DaftExprt
 
-    ckpt = args.checkpoint or os.path.join(
-        args.soak, "exp", "checkpoints", "DaftExprt_last")
+    ckpt = args.checkpoint
+    if ckpt is None:
+        ckpt_root = os.path.join(args.soak, "exp", "checkpoints")
+        ckpt = os.path.join(ckpt_root, "DaftExprt_last")
+        if not os.path.isdir(ckpt):
+            # a timeout-killed soak never writes _last; fall back to
+            # the highest numbered checkpoint on disk
+            numbered = sorted(
+                (int(d.rsplit("_", 1)[1]), d)
+                for d in os.listdir(ckpt_root)
+                if d.rsplit("_", 1)[-1].isdigit())
+            assert numbered, f"no checkpoints in {ckpt_root}"
+            ckpt = os.path.join(ckpt_root, numbered[-1][1])
     params, hp = load_any_checkpoint(ckpt)
     model = DaftExprt(hp)
     engine = InferenceEngine(model, params, hp)

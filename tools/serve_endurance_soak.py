@@ -279,6 +279,30 @@ def main():
                     f"{r['executables']} | {r['film_entries']} |\n")
     print(f"log written to {log_path}")
 
+    # machine-readable summary for bench.py's regression flag: written
+    # next to the markdown log (docs/serve_endurance.json when --log
+    # points into docs/) and into the out dir
+    summary = {
+        "tool": "tools/serve_endurance_soak.py", "git_rev": git_rev,
+        "minutes": round(wall_min, 2), "requests_ok": counts["ok"],
+        "requests_failed": counts["fail"],
+        "truncated": counts["truncated"],
+        "rate_per_s": round(rate, 3),
+        "p50_latency_ms": final_stats.get("p50_latency_ms"),
+        "p95_latency_ms": final_stats.get("p95_latency_ms"),
+        "executables_final": exe_last,
+        "executables_first_half_max": exe_first_half_max,
+        "rss_last_half_growth_mb": round(rss_growth, 1),
+        "passed": bool(counts["fail"] == 0 and counts["ok"] > 100
+                       and exe_last <= exe_first_half_max
+                       and rss_growth < args.rss_slack_mb),
+    }
+    for path in (os.path.join(root, "endurance.json"),
+                 os.path.join(os.path.dirname(os.path.abspath(log_path)),
+                              "serve_endurance.json")):
+        with open(path, "w") as f:
+            json.dump(summary, f, indent=1)
+
     # ---- hard gates ----
     assert counts["fail"] == 0, f"{counts['fail']} failed requests"
     assert counts["ok"] > 100, f"only {counts['ok']} requests completed"
