@@ -17,6 +17,7 @@ shards by ``jax.process_index()``.
 
 from __future__ import annotations
 
+import gc
 import logging
 import os
 import time
@@ -348,6 +349,13 @@ class Trainer:
                             # event too, train.py:449-467)
                             benchmark_hook(self._host_local(params),
                                            self.iteration, out_dir)
+
+                if self.iteration % 500 == 0:
+                    # long soaks show unbounded host-RSS growth (GBs/
+                    # 1000 iters) under the tunnel transport; a
+                    # periodic full collection caps it if dropped
+                    # device-buffer references are the cause
+                    gc.collect()
 
                 if self._should_stop():
                     _logger.warning(

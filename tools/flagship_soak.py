@@ -214,6 +214,14 @@ def main():
     ap.add_argument("--ckpt_every", type=int, default=5000,
                     help="hp.iters_per_checkpoint (sweep granularity "
                          "for tools/prosody_transfer_eval.py --sweep)")
+    ap.add_argument("--resume", default=None,
+                    help="checkpoint dir (e.g. <out>/exp/checkpoints/"
+                         "DaftExprt_5000) to continue from: reuses the "
+                         "existing corpus/features in --out (same seed "
+                         "and knobs required) and trains on to --iters. "
+                         "Lets a long soak run as several short client "
+                         "processes (the axon tunnel has wedged twice "
+                         "under sustained single-process load)")
     args = ap.parse_args()
 
     from daft_exprt_tpu.utils import enable_compile_cache
@@ -230,8 +238,9 @@ def main():
     from daft_exprt_tpu.training.trainer import Trainer
 
     root = args.out
-    shutil.rmtree(root, ignore_errors=True)
-    os.makedirs(root)
+    if not args.resume:
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root)
     rng = np.random.default_rng(args.seed)
 
     speakers = _SPEAKERS
@@ -241,8 +250,14 @@ def main():
 
     # ---- corpus + preprocessing (device-batched mel + NCCF pitch) ----
     t0 = time.time()
-    dataset_dir, features_dir = build_corpus(
-        root, args.utts_per_speaker, rng, speakers)
+    if args.resume:
+        dataset_dir = os.path.join(root, "dataset")
+        features_dir = os.path.join(root, "features")
+        assert os.path.isdir(features_dir), \
+            "--resume requires the original --out corpus on disk"
+    else:
+        dataset_dir, features_dir = build_corpus(
+            root, args.utts_per_speaker, rng, speakers)
     exp_dir = os.path.join(root, "exp")
     os.makedirs(exp_dir, exist_ok=True)
     # FLAGSHIP config: every architecture field is the shipped default
@@ -257,12 +272,14 @@ def main():
         speakers=sorted(speakers),
         compute_dtype="bfloat16",
     )
-    for spk in hp.speakers:
-        extract_markers(os.path.join(dataset_dir, spk, "align"), n_jobs=4)
-    extract_features(dataset_dir, features_dir, hp, n_jobs=4,
-                     device_pitch=True)
-    create_sets(features_dir, hp,
-                proportion_validation=args.val_percent)
+    if not args.resume:
+        for spk in hp.speakers:
+            extract_markers(os.path.join(dataset_dir, spk, "align"),
+                            n_jobs=4)
+        extract_features(dataset_dir, features_dir, hp, n_jobs=4,
+                         device_pitch=True)
+        create_sets(features_dir, hp,
+                    proportion_validation=args.val_percent)
     hp.stats = extract_features_stats(hp, n_jobs=4)
     _logger.info("corpus + features in %.0fs", time.time() - t0)
 
@@ -345,16 +362,25 @@ def main():
     params0, opt0 = trainer.init_state()
     n_params = trainer.model.num_params(params0)
     _, val_loader = trainer.make_loaders()
-    history[0] = dict(trainer.validate(params0, val_loader))
+    if args.resume:
+        params0, opt0 = trainer.resume(args.resume, params0, opt0)
+        # earlier segments' validation history, if any
+        hist_path = os.path.join(root, "history.json")
+        if os.path.exists(hist_path):
+            with open(hist_path) as f:
+                history.update({int(k): v
+                                for k, v in json.load(f).items()})
+    start_iter = trainer.iteration
+    history[start_iter] = dict(trainer.validate(params0, val_loader))
 
     t0 = time.time()
     params, _ = trainer.train(params=params0, opt_state=opt0,
                               benchmark_hook=rate_limited_hook,
                               max_iterations=args.iters)
     wall = time.time() - t0
-    steps_per_sec = args.iters / wall
+    steps_per_sec = max(args.iters - start_iter, 1) / wall
     _logger.info("%d iterations in %.0fs (%.2f steps/s)",
-                 args.iters, wall, steps_per_sec)
+                 args.iters - start_iter, wall, steps_per_sec)
 
     # ---- evidence table + assertions ----
     iters = sorted(history)
@@ -422,11 +448,14 @@ def main():
     with open(os.path.join(root, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1)
 
-    # hard convergence gates
-    assert last["mel_spec_l1_loss"] < first["mel_spec_l1_loss"] * 0.5, \
-        "flagship mel L1 must at least halve"
-    for k in ("duration_loss", "pitch_loss", "energy_loss"):
-        assert last[k] < first[k], f"{k} must decrease"
+    # hard convergence gates (from-scratch runs only: a resumed
+    # segment starts from a trained model, where val losses plateau
+    # and fluctuate)
+    if not args.resume:
+        assert last["mel_spec_l1_loss"] < first["mel_spec_l1_loss"] * 0.5, \
+            "flagship mel L1 must at least halve"
+        for k in ("duration_loss", "pitch_loss", "energy_loss"):
+            assert last[k] < first[k], f"{k} must decrease"
     assert ckpts, "checkpoints must exist"
     # earliest checkpoints may predict degenerate (zero-frame) durations;
     # the LAST benchmark synthesis must produce audio
