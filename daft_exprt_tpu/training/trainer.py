@@ -356,6 +356,16 @@ class Trainer:
                     # periodic full collection caps it if dropped
                     # device-buffer references are the cause
                     gc.collect()
+                    if self.is_chief:
+                        try:
+                            with open("/proc/self/status") as sf:
+                                rss_kb = next(
+                                    int(line.split()[1]) for line in sf
+                                    if line.startswith("VmRSS:"))
+                            _logger.info(f"host RSS "
+                                         f"{rss_kb / 1048576:.1f} GB")
+                        except (OSError, StopIteration, ValueError):
+                            pass
 
                 if self._should_stop():
                     _logger.warning(
