@@ -71,10 +71,17 @@ def main():
                     help="score EVERY numbered checkpoint in the soak "
                          "dir through the same compiled graphs and "
                          "log the transfer-emergence curve")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (cpu keeps the eval "
+                         "moving when the TPU tunnel is down; slower "
+                         "synthesis, identical metrics)")
     args = ap.parse_args()
 
     from daft_exprt_tpu.utils import enable_compile_cache
     enable_compile_cache()
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     from compare_pitch_curves import pcc_on_2_pitch_curves
     from synthesize import load_any_checkpoint
