@@ -54,12 +54,18 @@ def enable_compile_cache(min_compile_secs: float = 5.0) -> str:
     except (ImportError, AttributeError):  # no private API: stay lazy
         pass
     if not backend:
-        platforms = os.environ.get("JAX_PLATFORMS") or ""
+        # explicit programmatic choice first: jax.config.update(
+        # "jax_platforms", ...) is how a tool forces CPU after the
+        # axon sitecustomize already exported JAX_PLATFORMS (env
+        # overrides post-startup are no-ops, so config is what the
+        # runtime will actually use; when nobody updated it, config
+        # mirrors the env anyway)
+        try:
+            platforms = jax.config.jax_platforms or ""
+        except AttributeError:
+            platforms = ""
         if not platforms:
-            try:
-                platforms = jax.config.jax_platforms or ""
-            except AttributeError:
-                platforms = ""
+            platforms = os.environ.get("JAX_PLATFORMS") or ""
         backend = platforms.split(",")[0].strip().lower()
     if not backend:
         # Still unresolved (nothing initialized, no platform env). Look

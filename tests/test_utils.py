@@ -287,6 +287,30 @@ def test_enable_compile_cache_enables_on_plugin_factory(tmp_path,
     assert (tmp_path / "c").exists()
 
 
+def test_enable_compile_cache_config_beats_env(tmp_path, monkeypatch):
+    """jax.config.update("jax_platforms", "cpu") (how a --platform cpu
+    tool forces CPU after the sitecustomize exported an accelerator
+    JAX_PLATFORMS) must disable the cache: config is what the runtime
+    actually uses, and round 5 hit a SIGILL reloading an XLA:CPU AOT
+    entry through exactly this precedence hole."""
+    from jax._src import xla_bridge
+
+    from daft_exprt_tpu.utils import enable_compile_cache
+
+    monkeypatch.setenv("JAX_PLATFORMS", "fakeaccel")
+    monkeypatch.setenv("DAFT_EXPRT_COMPILE_CACHE", str(tmp_path / "c"))
+    monkeypatch.setattr(xla_bridge, "backends_are_initialized",
+                        lambda: False)
+    import jax
+    old = jax.config.jax_platforms
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        assert enable_compile_cache() == ""
+    finally:
+        jax.config.update("jax_platforms", old)
+    assert not (tmp_path / "c").exists()
+
+
 def test_enable_compile_cache_skips_explicit_cpu(tmp_path, monkeypatch):
     """With JAX_PLATFORMS=cpu (tests, dryruns) the persistent cache
     stays disabled -- XLA:CPU AOT entries risk SIGILL on reload."""

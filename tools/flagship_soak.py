@@ -224,11 +224,14 @@ def main():
                          "under sustained single-process load)")
     args = ap.parse_args()
 
-    from daft_exprt_tpu.utils import enable_compile_cache
-    enable_compile_cache()
     import jax
     if args.platform:
+        # BEFORE enable_compile_cache: the cache must see the forced
+        # platform (XLA:CPU AOT entries risk SIGILL on reload, so the
+        # cache stays off for cpu runs)
         jax.config.update("jax_platforms", args.platform)
+    from daft_exprt_tpu.utils import enable_compile_cache
+    enable_compile_cache()
     from daft_exprt_tpu.config import HyperParams
     from daft_exprt_tpu.data.mfa import extract_markers
     from daft_exprt_tpu.data.features import extract_features

@@ -77,11 +77,13 @@ def main():
                          "synthesis, identical metrics)")
     args = ap.parse_args()
 
-    from daft_exprt_tpu.utils import enable_compile_cache
-    enable_compile_cache()
     if args.platform:
+        # BEFORE enable_compile_cache: the forced platform decides
+        # whether the persistent cache is safe (never for XLA:CPU)
         import jax
         jax.config.update("jax_platforms", args.platform)
+    from daft_exprt_tpu.utils import enable_compile_cache
+    enable_compile_cache()
 
     from compare_pitch_curves import pcc_on_2_pitch_curves
     from synthesize import load_any_checkpoint
