@@ -840,10 +840,16 @@ def main():
                              "restarted server loads its compiled "
                              "graphs from disk instead of recompiling "
                              "(default: $DAFT_AOT_CACHE if set)")
+    parser.add_argument("--platform", default=None,
+                        help="force a jax platform (cpu: degraded-mode "
+                             "serving when the accelerator is down)")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(message)s")
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     _enable_compile_cache()
     service = SynthesisService(
         args.checkpoint, args.style_bank, vocoder=args.vocoder,

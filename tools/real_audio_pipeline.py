@@ -205,11 +205,16 @@ def main():
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--out", default="/tmp/daft_real_audio")
     ap.add_argument("--log", default=None)
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (cpu keeps the pipeline "
+                         "moving when the accelerator tunnel is down)")
     args = ap.parse_args()
 
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     from daft_exprt_tpu.utils import enable_compile_cache
     enable_compile_cache()
-    import jax
 
     from daft_exprt_tpu.config import HyperParams
     from daft_exprt_tpu.data.features import extract_features

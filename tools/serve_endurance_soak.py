@@ -98,6 +98,9 @@ def main():
                          "corpus)")
     ap.add_argument("--out", default="/tmp/daft_serve_endurance")
     ap.add_argument("--log", default=None)
+    ap.add_argument("--platform", default=None,
+                    help="forwarded to scripts/serve.py (cpu: run the "
+                         "endurance soak without the accelerator)")
     args = ap.parse_args()
 
     root = args.out
@@ -127,7 +130,8 @@ def main():
         [sys.executable, os.path.join(_ROOT, "scripts", "serve.py"),
          "--checkpoint", args.ckpt, "--style_bank", bank,
          "--port", str(args.port), "--host", "127.0.0.1",
-         "--batch_window_ms", "5", "--max_batch", "8"],
+         "--batch_window_ms", "5", "--max_batch", "8"]
+        + (["--platform", args.platform] if args.platform else []),
         stdout=open(os.path.join(root, "server.log"), "w"),
         stderr=subprocess.STDOUT, env=env)
     base = f"http://127.0.0.1:{args.port}"

@@ -99,11 +99,16 @@ def main():
                          "separately (VERDICT r4 weakness #3: the "
                          "round-4 -83%% was in-sample on all 15; 0 "
                          "restores that behavior)")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (cpu keeps the soak "
+                         "moving when the accelerator tunnel is down)")
     args = ap.parse_args()
 
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     from daft_exprt_tpu.utils import enable_compile_cache
     enable_compile_cache()
-    import jax
 
     from daft_exprt_tpu.vocoder.hifigan import (HiFiGanGenerator,
                                                 load_generator)
