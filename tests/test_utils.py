@@ -215,9 +215,11 @@ def test_enable_compile_cache_never_initializes_backend():
         "assert not xla_bridge.backends_are_initialized(), \\\n"
         "    'enable_compile_cache initialized the backend'\n"
         # backend init comes only now; pin it to CPU so the subprocess
-        # never contends for an attached accelerator
-        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        # never contends for (or hangs on) an attached accelerator --
+        # via jax.config, because the env var is a no-op once the
+        # sitecustomize pre-import has happened
         "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
         f"jax.distributed.initialize('127.0.0.1:{port}', 1, 0)\n"
         "assert jax.process_count() == 1\n"
     )
