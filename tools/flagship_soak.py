@@ -230,6 +230,13 @@ def main():
         # platform (XLA:CPU AOT entries risk SIGILL on reload, so the
         # cache stays off for cpu runs)
         jax.config.update("jax_platforms", args.platform)
+    if args.platform == "cpu":
+        # interpret-mode Pallas training kernels make the XLA:CPU
+        # jit_step compile pathological (>50 min observed); CPU
+        # training is a fallback path, so use the equivalent XLA
+        # autodiff ops unless the caller explicitly set the knobs
+        os.environ.setdefault("DAFT_DISABLE_TRAIN_ATTN", "1")
+        os.environ.setdefault("DAFT_DISABLE_TRAIN_FF", "1")
     from daft_exprt_tpu.utils import enable_compile_cache
     enable_compile_cache()
     from daft_exprt_tpu.config import HyperParams
