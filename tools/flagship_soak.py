@@ -301,6 +301,13 @@ def main():
         hp.adv_max_weight = args.adv_max
     if args.post_mult is not None:
         hp.post_mult_weight = args.post_mult
+    if args.platform == "cpu":
+        # each distinct (L, T) bucket is a separate jit_step compile
+        # and XLA:CPU takes ~50 min per flagship-scale step shape
+        # (observed); coarse buckets trade padding for a 1-2 shape
+        # plan so a CPU fallback soak finishes the same day
+        hp.symbol_bucket = 96
+        hp.frame_bucket = 384
 
     # turnkey-reproduction manifest (VERDICT r4 weakness #6): the exact
     # command, seed and knobs that produced every artifact in --out
