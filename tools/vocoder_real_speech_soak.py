@@ -64,26 +64,53 @@ def link_corpus(root, exclude=()):
     return data
 
 
+# Recordings are zero-padded onto this coarse sample grid so the 15
+# distinct-length files share a handful of compiled executables. With
+# exact per-file shapes every recording costs its own cold HiFi-GAN
+# XLA compile on the axon tunnel (observed 10+ quiet minutes per eval
+# pass); bucketing cuts that to ~2-3 compiles reused across the
+# fresh-init and fine-tuned passes.
+EVAL_BUCKET = 128 * HOP
+
+
+def _jitted_gen_fwd(gen, _cache={}):
+    import jax
+    fn = _cache.get(id(gen))
+    if fn is None:
+        fn = _cache[id(gen)] = jax.jit(gen.apply)
+    return fn
+
+
 def revocode_mel_l1(gen, params, wav_paths, input_cfg, loss_cfg):
-    """Mean full-utterance mel-L1 of generator(input_mel(wav)) vs wav."""
+    """Mean full-utterance mel-L1 of generator(input_mel(wav)) vs wav.
+
+    Scored on the true-length frame prefix; the zero-pad to the bucket
+    grid only perturbs the last ~(n_fft/hop) boundary frames of the
+    reference mel (identically for the fresh-init and fine-tuned
+    passes, so the before/after comparison is unaffected).
+    """
     import jax.numpy as jnp
 
     from daft_exprt_tpu.audio.io import load_wav
     from daft_exprt_tpu.vocoder.train import mel_for_loss
 
+    fwd = _jitted_gen_fwd(gen)
     per_file = {}
     for p in wav_paths:
         wav, _ = load_wav(p, target_sr=SR)
         wav = np.asarray(wav, np.float32)
         wav = wav[: len(wav) // HOP * HOP]
-        y = jnp.asarray(wav)[None]
+        t = len(wav)
+        pad_len = -(-t // EVAL_BUCKET) * EVAL_BUCKET
+        y = jnp.asarray(np.pad(wav, (0, pad_len - t)))[None]
         mel_in = mel_for_loss(y, **input_cfg)
-        y_g = gen.apply(params, mel_in)
-        t = min(y.shape[-1], y_g.shape[-1])
-        m_ref = mel_for_loss(y[:, :t], **loss_cfg)
-        m_gen = mel_for_loss(y_g[:, :t], **loss_cfg)
-        per_file[os.path.basename(p)] = float(
-            jnp.mean(jnp.abs(m_ref - m_gen)))
+        y_g = fwd(params, mel_in)
+        tc = min(y.shape[-1], y_g.shape[-1])
+        true_frames = t // HOP
+        m_ref = np.asarray(mel_for_loss(y[:, :tc], **loss_cfg))
+        m_gen = np.asarray(mel_for_loss(y_g[:, :tc], **loss_cfg))
+        per_file[os.path.basename(p)] = float(np.mean(np.abs(
+            m_ref[..., :true_frames] - m_gen[..., :true_frames])))
     return per_file
 
 
